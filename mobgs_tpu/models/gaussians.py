@@ -1,0 +1,178 @@
+"""Gaussian scene state — immutable pytree, fixed capacity, live mask.
+
+Parameter inventory mirrors the reference `GaussianModel`
+(`scene/gaussian_model.py:406-582`): positions, 12-knot spline control
+points + per-point live knot count, 6-channel base features
+(albedo‖spec), SH-shaped rest features, time-linear features, log
+scales, quaternions, opacity logits, angular velocity ω, motion, zeta,
+temporal RBF centre/scale.
+
+TPU-first deltas from the reference:
+
+* **Fixed capacity + live mask** instead of torch "optimizer surgery"
+  (`gaussian_model.py:1044-1123`): arrays never change shape under
+  `jit`; densify/prune writes into free slots and flips the mask, so the
+  whole training step stays one compiled program.
+* Activations are free functions over the pytree (no nn.Module state).
+* The dynamic model's position-at-time is the spline evaluation
+  (`gaussian_renderer/__init__.py:105-116`): positions scaled 1e-2 on
+  eval, trajectories 1e2 on fit.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mobgs_tpu.core import knn, se3, sh, spline
+
+CONTROL_NUM = 12           # max spline knots (reference control_num)
+SPLINE_SCALE = 1e-2        # eval-time position scale (renderer :116)
+
+
+class GaussianState(NamedTuple):
+    """All per-Gaussian parameters, capacity ``M`` with ``live`` mask."""
+    xyz: jnp.ndarray            # [M, 3]
+    control_xyz: jnp.ndarray    # [M, K, 3] spline control points (x1e2 units)
+    control_num: jnp.ndarray    # [M] int32 live knot count
+    features_dc: jnp.ndarray    # [M, 6]  (albedo SH-dc ‖ spec SH-dc)
+    features_rest: jnp.ndarray  # [M, 16, 3] SH rest (kept for ckpt parity)
+    features_t: jnp.ndarray     # [M, 3] time-linear feature
+    scaling: jnp.ndarray        # [M, 3] log scales
+    rotation: jnp.ndarray       # [M, 4] quaternions (wxyz)
+    opacity: jnp.ndarray        # [M, 1] logits
+    omega: jnp.ndarray          # [M, 4] quaternion angular velocity
+    motion: jnp.ndarray         # [M, 9]
+    zeta: jnp.ndarray           # [M, 1]
+    trbf_center: jnp.ndarray    # [M, 1]
+    trbf_scale: jnp.ndarray     # [M, 1]
+    live: jnp.ndarray           # [M] bool
+
+    @property
+    def capacity(self) -> int:
+        return self.xyz.shape[0]
+
+    def num_live(self) -> jnp.ndarray:
+        return jnp.sum(self.live.astype(jnp.int32))
+
+
+# ---------------------------------------------------------------------------
+# activations (reference gaussian_model.py:91-106)
+
+def act_scaling(state: GaussianState) -> jnp.ndarray:
+    return jnp.exp(state.scaling)
+
+
+def act_opacity(state: GaussianState) -> jnp.ndarray:
+    """Sigmoid opacity, zeroed on dead slots — dead ⇒ invisible."""
+    o = jax.nn.sigmoid(state.opacity[:, 0])
+    return o * state.live.astype(o.dtype)
+
+
+def act_rotation(rot: jnp.ndarray) -> jnp.ndarray:
+    return se3.normalize(rot)
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))
+
+
+# time-dependent accessors ---------------------------------------------------
+
+def rotation_at(state: GaussianState, dt: jnp.ndarray) -> jnp.ndarray:
+    """q + Δt·ω then normalize (reference get_rotation_dy :222-224)."""
+    return act_rotation(state.rotation + dt * state.omega)
+
+
+def features_at(state: GaussianState, dt: jnp.ndarray) -> jnp.ndarray:
+    """[dc ‖ Δt·f_t] 9-channel features (reference get_features :241)."""
+    return jnp.concatenate([state.features_dc, dt * state.features_t], axis=1)
+
+
+def positions_at(state: GaussianState, t) -> jnp.ndarray:
+    """Spline positions at normalized time t (renderer :105-116)."""
+    return spline.eval_spline(state.control_xyz, t, state.control_num) * SPLINE_SCALE
+
+
+def time_offset(state: GaussianState, t) -> jnp.ndarray:
+    """Δt = t - trbf_center, per point, [M, 1]."""
+    return jnp.asarray(t, state.trbf_center.dtype) - state.trbf_center
+
+
+# ---------------------------------------------------------------------------
+# construction
+
+def _padded(x: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    n = x.shape[0]
+    if n >= capacity:
+        return x[:capacity]
+    pad = jnp.zeros((capacity - n,) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
+def create_state(points: jnp.ndarray, colors: jnp.ndarray, times: jnp.ndarray,
+                 capacity: int, trajectory: jnp.ndarray | None = None,
+                 traj_times: jnp.ndarray | None = None,
+                 rng: jax.Array | None = None) -> GaussianState:
+    """Build a GaussianState from a seeded point cloud.
+
+    Mirrors `create_from_pcd` / `create_from_pcd_dynamic`
+    (`gaussian_model.py:406-582`):
+    * log-scales from sqrt(mean 3-NN squared distance),
+    * identity rotations, opacity logits at sigmoid⁻¹(0.1),
+    * features_dc = [SH(rgb) ‖ SH(rgb)], features_t/omega/motion/zeta = 0,
+    * static model: control points ~ N(mean, std) of the cloud,
+    * dynamic model: control points = least-squares cubic-Hermite fit of
+      the 1e2-scaled input trajectory.
+
+    Args:
+      points: [N, 3]; colors: [N, 3] in [0,1]; times: [N] or [N,1].
+      capacity: static slot count (≥ N).
+      trajectory: optional [N, T, 3] world-space tracks (dynamic model).
+      traj_times: [T] times of the trajectory samples.
+    """
+    N = points.shape[0]
+    assert capacity >= N
+    fused_color = sh.rgb_to_sh(colors)
+
+    d2 = jnp.clip(knn.mean_knn_sq_dist(points), 1e-7, None)
+    scales = jnp.log(jnp.sqrt(d2))[:, None].repeat(3, 1)
+    rots = jnp.zeros((N, 4)).at[:, 0].set(1.0)
+    opac = inverse_sigmoid(0.1 * jnp.ones((N, 1)))
+
+    if trajectory is not None:
+        assert traj_times is not None
+        control = spline.fit_spline_shared(
+            trajectory / SPLINE_SCALE, traj_times, CONTROL_NUM, CONTROL_NUM)
+    else:
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        mean = jnp.mean(points, axis=0)
+        std = jnp.std(points, axis=0)
+        control = (jax.random.normal(rng, (N, CONTROL_NUM, 3)) * std[None, None]
+                   + mean[None, None])
+
+    feats_dc = jnp.concatenate([fused_color, fused_color], axis=1)  # [N, 6]
+    state = GaussianState(
+        xyz=points,
+        control_xyz=control.astype(jnp.float32),
+        control_num=jnp.full((N,), CONTROL_NUM, jnp.int32),
+        features_dc=feats_dc.astype(jnp.float32),
+        features_rest=jnp.zeros((N, 16, 3), jnp.float32),
+        features_t=jnp.zeros((N, 3), jnp.float32),
+        scaling=scales.astype(jnp.float32),
+        rotation=rots.astype(jnp.float32),
+        opacity=opac.astype(jnp.float32),
+        omega=jnp.zeros((N, 4), jnp.float32),
+        motion=jnp.zeros((N, 9), jnp.float32),
+        zeta=jnp.zeros((N, 1), jnp.float32),
+        trbf_center=jnp.reshape(times, (N, 1)).astype(jnp.float32),
+        trbf_scale=jnp.zeros((N, 1), jnp.float32),
+        live=jnp.ones((N,), bool),
+    )
+    padded = jax.tree.map(lambda x: _padded(x, capacity), state)
+    # dead slots: control_num=4 keeps spline eval well-defined
+    cn = jnp.where(padded.live, padded.control_num, 4)
+    return padded._replace(control_num=cn.astype(jnp.int32))

@@ -1,0 +1,106 @@
+"""Tile binning for the Gaussian rasterizer — static shapes throughout.
+
+The gsplat CUDA pipeline (reference L0, SURVEY.md §2.1) builds
+variable-length per-tile lists with an atomically-counted prefix sum and
+a 64-bit radix sort. Under XLA we need static shapes, so the design is:
+
+1. every Gaussian expands to a *fixed* budget of ``tiles_per_gauss``
+   candidate (tile, gaussian) entries covering its screen bbox
+   (row-major; the bbox is radius-clamped so it always fits the budget),
+2. each entry gets a fused int32 sort key ``tile_id << RANK_BITS |
+   depth_rank`` (depth rank precomputed with one argsort over the
+   Gaussian axis), invalid entries get INT32_MAX,
+3. one `jnp.argsort` over all entries yields contiguous per-tile,
+   front-to-back runs; per-tile segment starts come from a
+   `searchsorted` over the sorted keys,
+4. the compositor reads at most ``max_per_tile`` front-most entries per
+   tile (overflow drops the *farthest* Gaussians, whose contribution is
+   already attenuated by transmittance).
+
+Gradients do not flow through the binning (indices are integer data);
+they flow through the gathers in the compositor.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from mobgs_tpu.ops.projection import ProjectedSplats
+
+TILE = 16
+RANK_BITS = 17  # supports N up to 2^17 = 131072 Gaussians per shard
+
+
+class TileBins(NamedTuple):
+    gauss_ids: jnp.ndarray   # [T, max_per_tile] int32 Gaussian indices (depth order)
+    counts: jnp.ndarray      # [T] int32 live entries per tile
+    n_tiles_x: int
+    n_tiles_y: int
+
+
+def bin_gaussians(splats: ProjectedSplats, width: int, height: int,
+                  tiles_per_gauss: int = 36, max_per_tile: int = 1024) -> TileBins:
+    n_tiles_x = -(-width // TILE)
+    n_tiles_y = -(-height // TILE)
+    n_tiles = n_tiles_x * n_tiles_y
+    N = splats.means2d.shape[0]
+    assert N <= (1 << RANK_BITS), f"shard N={N} exceeds rank-key capacity"
+
+    live = splats.radii > 0
+    r = splats.radii.astype(jnp.float32)
+    x, y = splats.means2d[:, 0], splats.means2d[:, 1]
+
+    tx0 = jnp.clip(jnp.floor((x - r) / TILE), 0, n_tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - r) / TILE), 0, n_tiles_y - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x + r) / TILE), 0, n_tiles_x - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y + r) / TILE), 0, n_tiles_y - 1).astype(jnp.int32)
+    bw = tx1 - tx0 + 1
+    bh = ty1 - ty0 + 1
+    # Radius clamp so the bbox fits the expansion budget: shrink the
+    # box symmetrically around the centre tile (affects only Gaussians
+    # spanning > tiles_per_gauss tiles, i.e. enormous outliers).
+    while_cap = int(tiles_per_gauss ** 0.5)  # square side cap fallback
+    over = bw * bh > tiles_per_gauss
+    bw_c = jnp.where(over, jnp.minimum(bw, while_cap), bw)
+    bh_c = jnp.where(over, jnp.minimum(bh, while_cap), bh)
+    ctx = jnp.clip((x / TILE).astype(jnp.int32), 0, n_tiles_x - 1)
+    cty = jnp.clip((y / TILE).astype(jnp.int32), 0, n_tiles_y - 1)
+    tx0 = jnp.where(over, jnp.clip(ctx - (bw_c - 1) // 2, 0, n_tiles_x - 1), tx0)
+    ty0 = jnp.where(over, jnp.clip(cty - (bh_c - 1) // 2, 0, n_tiles_y - 1), ty0)
+    bw, bh = bw_c, bh_c
+
+    # depth rank over Gaussians (front-most = 0)
+    order = jnp.argsort(jnp.where(live, splats.depths, jnp.inf))
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
+
+    # expand: entry e = (gaussian g, offset o)
+    o = jnp.arange(tiles_per_gauss, dtype=jnp.int32)[None, :]      # [1, E]
+    dx = o % bw[:, None]
+    dy = o // bw[:, None]
+    tile_id = (ty0[:, None] + dy) * n_tiles_x + (tx0[:, None] + dx)  # [N, E]
+    entry_valid = (o < bw[:, None] * bh[:, None]) & live[:, None]
+    keys = jnp.where(entry_valid,
+                     (tile_id << RANK_BITS) | rank[:, None],
+                     jnp.int32(2**31 - 1)).reshape(-1)
+    gidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
+                            (N, tiles_per_gauss)).reshape(-1)
+
+    perm = jnp.argsort(keys)
+    keys_sorted = keys[perm]
+    gidx_sorted = gidx[perm]
+
+    tile_keys = (jnp.arange(n_tiles + 1, dtype=jnp.int32) << RANK_BITS)
+    bounds = jnp.searchsorted(keys_sorted, tile_keys)
+    starts = bounds[:-1]
+    counts = (bounds[1:] - starts).astype(jnp.int32)
+
+    M = keys_sorted.shape[0]
+    k = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(starts[:, None] + k, M - 1)
+    ids = gidx_sorted[idx]  # [T, max_per_tile]
+    counts = jnp.minimum(counts, max_per_tile)
+    return TileBins(gauss_ids=ids, counts=counts,
+                    n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y)
