@@ -1,0 +1,112 @@
+"""Benchmark: steady-state training throughput on the DyBluRF 'seesaw'
+protocol shapes (512x288, 24 frames, 20k static + 10k dynamic seeds,
+batch 2, 9 latent exposures — BASELINE.md table).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+`vs_baseline` compares against an ESTIMATED reference throughput of
+2.0 train iters/sec (MoBGS on A100: ~90 sequential gsplat launches per
+iteration at these shapes; the repo publishes no numbers — see
+BASELINE.md). The synthetic scene reproduces the protocol's shapes, not
+its pixels, so the metric is throughput, which is shape-determined.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_ITERS_PER_SEC_EST = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mobgs_tpu.config import BlceParams, OptimizationParams
+    from mobgs_tpu.data import synthetic
+    from mobgs_tpu.models import blce as B
+    from mobgs_tpu.models import gaussians as G
+    from mobgs_tpu.models.sandwich import init_sandwich
+    from mobgs_tpu.ops.rasterize import RasterConfig
+    from mobgs_tpu.train import loop as L
+    from mobgs_tpu.train.step import init_train_state, make_train_step
+
+    on_tpu = any(d.platform != "cpu" for d in jax.devices())
+    if on_tpu:
+        W, H, F = 512, 288, 24
+        n_stat, n_dyn = 20_000, 10_000
+        cap_mult = 2
+        raster_cfg = RasterConfig(tiles_per_gauss=16, max_per_tile=512,
+                                  tile_chunk=36)
+        iters_timed = 20
+    else:  # CPU fallback keeps the bench runnable anywhere (scaled down)
+        W, H, F = 128, 72, 8
+        n_stat, n_dyn = 1500, 400
+        cap_mult = 2
+        raster_cfg = RasterConfig(tiles_per_gauss=16, max_per_tile=256,
+                                  tile_chunk=12)
+        iters_timed = 5
+
+    data, traj = synthetic.generate(width=W, height=H, num_frames=F,
+                                    n_static=2000, n_dyn=400,
+                                    blur_substeps=3, raster_cfg=raster_cfg)
+    s_pts, s_cols, d_traj = synthetic.init_point_clouds(
+        data, traj, n_stat, n_dyn)
+
+    stat = G.create_state(jnp.asarray(s_pts), jnp.asarray(s_cols),
+                          jnp.zeros(len(s_pts)),
+                          capacity=len(s_pts) * cap_mult,
+                          rng=jax.random.PRNGKey(0))
+    dyn = G.create_state(
+        jnp.asarray(d_traj[:, 0]),
+        jnp.asarray(np.full((len(d_traj), 3), 0.5, np.float32)),
+        jnp.zeros(len(d_traj)), capacity=len(d_traj) * cap_mult,
+        trajectory=jnp.asarray(d_traj), traj_times=jnp.asarray(data.time))
+    sandwich = init_sandwich(jax.random.PRNGKey(1))
+    blce_state = B.init_blce(jax.random.PRNGKey(2), num_views=F, num_warp=9)
+    ts = init_train_state(stat, dyn, sandwich, blce_state)
+
+    # seesaw overlay: batch 2, lambda_flow_loss = 0 (arguments/stereo/seesaw.py)
+    opt = OptimizationParams(iterations=10_000, batch_size=2,
+                             lambda_flow_loss=0.0)
+    step_fn = make_train_step(opt, W, H, data.max_time, num_warp=9,
+                              raster_cfg=raster_cfg)
+
+    sampler = L.BatchSampler(F, 2, seed=0)
+    batch = L.make_batch(data, sampler.next_ids())
+
+    t_compile = time.time()
+    ts, m = step_fn(ts, batch)
+    jax.block_until_ready(m.loss)
+    compile_s = time.time() - t_compile
+
+    # warmup
+    for _ in range(3):
+        ts, m = step_fn(ts, L.make_batch(data, sampler.next_ids()))
+    jax.block_until_ready(m.loss)
+
+    t0 = time.time()
+    for _ in range(iters_timed):
+        ts, m = step_fn(ts, L.make_batch(data, sampler.next_ids()))
+    jax.block_until_ready(m.loss)
+    dt = time.time() - t0
+    ips = iters_timed / dt
+
+    platform = jax.devices()[0].platform
+    result = {
+        "metric": f"train_iters_per_sec_seesaw_protocol_{platform}",
+        "value": round(ips, 4),
+        "unit": "iters/sec",
+        "vs_baseline": round(ips / REFERENCE_ITERS_PER_SEC_EST, 4),
+    }
+    print(json.dumps(result))
+    print(f"# compile {compile_s:.1f}s, {iters_timed} iters in {dt:.2f}s, "
+          f"loss {float(m.loss):.4f}, psnr {float(m.psnr):.2f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,173 @@
+"""Training CLI — reference-compatible flags.
+
+Usage parity with `train.py` (reference :949-1014):
+  python -m mobgs_tpu.cli.train -s data/stereo/seesaw/dense \
+      --configs configs/stereo/seesaw.py --expname stereo/seesaw
+
+Plus a hermetic mode for environments without the dataset:
+  python -m mobgs_tpu.cli.train --synthetic --iterations 100
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description="mobgs_tpu training")
+    p.add_argument("-s", "--source_path", type=str, default="")
+    p.add_argument("-m", "--model_path", type=str, default="")
+    p.add_argument("--expname", type=str, default="default")
+    p.add_argument("--configs", type=str, default="")
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--test_iterations", type=int, default=500,
+                   help="evaluate every N iterations")
+    p.add_argument("--save_iterations", type=int, nargs="+", default=None)
+    p.add_argument("--seed", type=int, default=6666)
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on a generated synthetic scene")
+    p.add_argument("--synthetic_size", type=str, default="128x72x12",
+                   help="WxHxFrames for --synthetic")
+    p.add_argument("--num_warp", type=int, default=None,
+                   help="override latent exposure count (default 9)")
+    p.add_argument("--quiet", action="store_true")
+    args = p.parse_args(argv)
+
+    from mobgs_tpu.config import Config, load_scene_config
+    cfg = Config()
+    if args.configs:
+        cfg = load_scene_config(args.configs)
+    import dataclasses
+    if args.iterations is not None:
+        cfg = dataclasses.replace(
+            cfg, opt=dataclasses.replace(cfg.opt, iterations=args.iterations))
+    if args.num_warp is not None:
+        cfg = dataclasses.replace(
+            cfg, blce=dataclasses.replace(cfg.blce, num_warp=args.num_warp))
+
+    import jax
+    import jax.numpy as jnp
+    from mobgs_tpu.data import synthetic
+    from mobgs_tpu.models import blce as B
+    from mobgs_tpu.models import gaussians as G
+    from mobgs_tpu.models.sandwich import init_sandwich
+    from mobgs_tpu.ops.rasterize import RasterConfig
+    from mobgs_tpu.train import loop as L
+    from mobgs_tpu.train import warm
+    from mobgs_tpu.train.step import init_train_state
+
+    np.random.seed(args.seed % (2**32))
+
+    raster_cfg = RasterConfig(tiles_per_gauss=cfg.tpu.tiles_per_gauss,
+                              max_per_tile=cfg.tpu.max_per_tile,
+                              tile_chunk=cfg.tpu.tile_chunk)
+
+    # ---- data
+    if args.synthetic:
+        W, H, F = map(int, args.synthetic_size.split("x"))
+        data, traj = synthetic.generate(width=W, height=H, num_frames=F)
+        # scale seed counts to the synthetic scene area (the reference
+        # counts assume 512x288)
+        area_scale = (W * H) / (512 * 288)
+        s_pts, s_cols, d_traj = synthetic.init_point_clouds(
+            data, traj, max(200, int(cfg.opt.stat_npts * area_scale)),
+            max(60, int(cfg.opt.dyn_npts * area_scale)))
+        s_times = np.zeros(len(s_pts), np.float32)
+        d_times = np.zeros(len(d_traj), np.float32)
+        d_cols = np.full((len(d_traj), 3), 0.5, np.float32)
+        traj_times = data.time
+    else:
+        from mobgs_tpu.data.stereo import load_stereo_scene
+        scene = load_stereo_scene(args.source_path)
+        data = scene.data
+        print(f"loaded {data.w2c.shape[0]} frames @ {data.width}x{data.height}")
+        pc = warm.warm_init(data.images, data.depths, data.w2c, data.K,
+                            data.time, (data.masks > 0.5).astype(np.float32),
+                            scene.tracklet, cfg.opt.stat_npts,
+                            cfg.opt.dyn_npts, seed=args.seed)
+        s_pts, s_cols, s_times = pc.stat_points, pc.stat_colors, pc.stat_times
+        d_traj = pc.dyn_trajectory
+        d_cols, d_times = pc.dyn_colors, pc.dyn_times
+        traj_times = data.time
+
+    # ---- states
+    cap_mult = cfg.tpu.capacity_mult if not args.synthetic else 2.0
+    cap_s = int(len(s_pts) * cap_mult)
+    cap_d = int(len(d_traj) * cap_mult)
+    stat = G.create_state(jnp.asarray(s_pts), jnp.asarray(s_cols),
+                          jnp.asarray(s_times), cap_s,
+                          rng=jax.random.PRNGKey(args.seed))
+    dyn = G.create_state(jnp.asarray(d_traj[:, 0]), jnp.asarray(d_cols),
+                         jnp.asarray(d_times), cap_d,
+                         trajectory=jnp.asarray(d_traj),
+                         traj_times=jnp.asarray(traj_times))
+    sandwich = init_sandwich(jax.random.PRNGKey(args.seed + 1))
+    blce_state = B.init_blce(jax.random.PRNGKey(args.seed + 2),
+                             num_views=data.w2c.shape[0],
+                             view_dim=cfg.blce.view_dim,
+                             num_warp=cfg.blce.num_warp)
+    ts = init_train_state(stat, dyn, sandwich, blce_state)
+    extent = L.scene_extent_of(np.asarray(s_pts))
+
+    out_dir = args.model_path or os.path.join("output", args.expname)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "cfg_args.json"), "w") as f:
+        json.dump({"expname": args.expname, "source_path": args.source_path,
+                   "iterations": cfg.opt.iterations,
+                   "synthetic": args.synthetic}, f)
+
+    best = {"psnr": -1.0, "iter": 0}
+
+    def on_log(m):
+        if not args.quiet:
+            print(f"[{m['iter']:6d}] loss {m['loss']:.4f} photo {m['photo']:.4f} "
+                  f"psnr {m['psnr']:.2f} pts ({m['n_stat']},{m['n_dyn']}) "
+                  f"({m['elapsed']:.0f}s)")
+
+    def on_eval(ts_now, it):
+        from mobgs_tpu.eval.tto import make_tto
+        tto = make_tto(ts_now.stat, ts_now.dyn, ts_now.sandwich,
+                       data.width, data.height, data.max_time,
+                       steps=5, raster_cfg=raster_cfg)
+        V = data.test_w2c.shape[0]
+        res = tto(jnp.asarray(data.test_w2c), jnp.asarray(data.K),
+                  jnp.asarray(data.time), jnp.asarray(data.test_images),
+                  jnp.ones(V))
+        psnr = float(np.mean(np.asarray(res.psnr)))
+        print(f"[eval @ {it}] test PSNR {psnr:.2f}")
+        if psnr > best["psnr"]:
+            best.update(psnr=psnr, iter=it)
+            save_checkpoint(ts_now, out_dir, "best")
+
+    def save_checkpoint(ts_now, root, tag):
+        from mobgs_tpu.io.ply import save_gaussians
+        d = os.path.join(root, "point_cloud", f"iteration_{tag}")
+        os.makedirs(d, exist_ok=True)
+        save_gaussians(os.path.join(d, "point_cloud.ply"), ts_now.dyn,
+                       ts_now.sandwich)
+        save_gaussians(os.path.join(d, "point_cloud_static.ply"), ts_now.stat)
+        blce_np = jax.tree.map(np.asarray, ts_now.blce.params)._asdict()
+        np.savez(os.path.join(d, "blce.npz"),
+                 exposure_expo=np.asarray(ts_now.blce.exposure_expo),
+                 **{k: v for k, v in blce_np.items()})
+
+    ts, history = L.train(
+        ts, data, cfg.opt, cfg.blce, iterations=cfg.opt.iterations,
+        raster_cfg=raster_cfg, scene_extent=extent, seed=args.seed,
+        log_every=50, on_log=on_log,
+        eval_every=args.test_iterations, on_eval=on_eval)
+
+    save_checkpoint(ts, out_dir, str(cfg.opt.iterations))
+    with open(os.path.join(out_dir, "history.json"), "w") as f:
+        json.dump(history, f)
+    print(f"done. best test PSNR {best['psnr']:.2f} @ iter {best['iter']}; "
+          f"checkpoints in {out_dir}")
+    return ts, history
+
+
+if __name__ == "__main__":
+    main()

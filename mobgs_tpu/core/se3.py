@@ -15,11 +15,20 @@ Conventions (identical to the reference):
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
 def normalize(v: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=axis, keepdims=True), eps)
+    """Unit-normalize, NaN-safe in the backward pass at ‖v‖ = 0.
+
+    `v / max(‖v‖, eps)` still back-propagates NaN at exactly zero input
+    (d√x/dx → ∞ times a zero cotangent); clamping the *squared* norm
+    before rsqrt keeps both value and gradient finite — dead Gaussian
+    slots carry all-zero quaternions through the training step.
+    """
+    sq = jnp.sum(v * v, axis=axis, keepdims=True)
+    return v * jax.lax.rsqrt(jnp.maximum(sq, eps * eps))
 
 
 def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
@@ -113,7 +122,8 @@ def se3_exp_wvtheta(w: jnp.ndarray, v: jnp.ndarray, theta: jnp.ndarray) -> jnp.n
     Matches BLCE's decode path: normalize w to a unit axis, apply
     Rodrigues with the *decoded* theta, translation ``p = G(w, θ) v``.
     """
-    w_unit = w / (jnp.linalg.norm(w, axis=-1, keepdims=True) + 1e-10)
+    w_unit = w * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(w * w, axis=-1, keepdims=True), 1e-20))
     W = skew(w_unit)
     th = theta[..., None]  # [..., 1, 1]
     R = rodrigues(W, th)

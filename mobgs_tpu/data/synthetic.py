@@ -1,0 +1,162 @@
+"""Synthetic DyBluRF-like scene generator.
+
+Builds a ground-truth Gaussian scene (static shell + moving dynamic
+blob), renders blurry/sharp frame pairs with known camera motion, and
+packages them in the same structures the real DyBluRF stereo loader
+produces — so the full training/eval stack can run hermetically (tests,
+bench) without the dataset on disk.
+
+Protocol shapes follow the reference (SURVEY.md §6): 24 frames at
+512x288 (configurable), interleaved blurry-train / sharp-test views.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mobgs_tpu.core import se3
+from mobgs_tpu.data.cameras import Camera
+from mobgs_tpu.models import blce as B
+from mobgs_tpu.ops.rasterize import RasterConfig, rasterize
+
+
+class SceneData(NamedTuple):
+    """Host-side training data for one scene (arrays stacked over views)."""
+    w2c: np.ndarray          # [V, 4, 4]
+    K: np.ndarray            # [V, 3, 3]
+    time: np.ndarray         # [V]
+    images: np.ndarray       # [V, H, W, 3]
+    depths: np.ndarray       # [V, H, W]
+    blur_feats: np.ndarray   # [V]
+    masks: np.ndarray        # [V, H, W] motion masks
+    width: int
+    height: int
+    max_time: float
+    # test split (sharp)
+    test_w2c: np.ndarray
+    test_images: np.ndarray
+
+
+def _orbit_w2c(t: float, radius: float = 8.0, wobble: float = 0.25):
+    ang = wobble * np.sin(2 * np.pi * t)
+    c = np.cos(ang); s = np.sin(ang)
+    R_c2w = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    center = np.array([radius * np.sin(ang), 0.1 * np.sin(4 * np.pi * t),
+                       radius * (np.cos(ang) - 1.0)], np.float32)
+    w2c = np.eye(4, dtype=np.float32)
+    w2c[:3, :3] = R_c2w.T
+    w2c[:3, 3] = -R_c2w.T @ center
+    return w2c
+
+
+def generate(width: int = 128, height: int = 72, num_frames: int = 12,
+             n_static: int = 600, n_dyn: int = 150, seed: int = 0,
+             blur_substeps: int = 5, exposure: float = 0.35,
+             raster_cfg: RasterConfig = RasterConfig(tile_chunk=12,
+                                                     max_per_tile=256)):
+    """Render a synthetic scene. Returns (SceneData, gt_dyn_traj [Nd,V,3])."""
+    rng = np.random.default_rng(seed)
+    f = 0.9 * width
+    K = np.array([[f, 0, width / 2], [0, f, height / 2], [0, 0, 1]], np.float32)
+
+    s_pts = rng.normal(size=(n_static, 3)).astype(np.float32) * np.array([3, 1.6, 2.0])
+    s_pts[:, 2] += 9.0
+    s_cols = rng.uniform(0.1, 0.9, (n_static, 3)).astype(np.float32)
+    d_base = rng.normal(size=(n_dyn, 3)).astype(np.float32) * 0.5
+    d_base[:, 2] += 8.0
+    d_base[:, 0] -= 1.5
+    d_cols = rng.uniform(0.2, 1.0, (n_dyn, 3)).astype(np.float32)
+    d_vel = np.array([3.0, 0.6, 0.0], np.float32)
+
+    quats = np.zeros((n_static + n_dyn, 4), np.float32); quats[:, 0] = 1
+    scales = np.full((n_static + n_dyn, 3), 0.06, np.float32)
+    scales[n_static:] = 0.05
+    opac = np.full((n_static + n_dyn,), 0.8, np.float32)
+    colors = np.concatenate([s_cols, d_cols], 0)
+
+    def dyn_at(t):
+        return d_base + d_vel[None] * t
+
+    def render_frame(w2c, t):
+        means = jnp.asarray(np.concatenate([s_pts, dyn_at(t)], 0))
+        out = rasterize(means, jnp.asarray(quats), jnp.asarray(scales),
+                        jnp.asarray(opac), jnp.asarray(colors),
+                        jnp.asarray(w2c), jnp.asarray(K), width, height,
+                        background=jnp.zeros(3), config=raster_cfg)
+        return np.asarray(out.images[0]), np.asarray(out.depths[0]), np.asarray(out.alphas[0])
+
+    times = np.linspace(0, 1, num_frames).astype(np.float32)
+    imgs, depths, blur_feats, w2cs, masks = [], [], [], [], []
+    test_imgs, test_w2cs = [], []
+    traj = np.stack([dyn_at(t) for t in times], axis=1)  # [Nd, V, 3]
+
+    for t in times:
+        w2c = _orbit_w2c(t)
+        # blurry train view: average renders across the exposure window
+        acc = None
+        for k in range(blur_substeps):
+            dt = exposure * (k / max(blur_substeps - 1, 1) - 0.5) / max(num_frames - 1, 1)
+            w2c_k = _orbit_w2c(np.clip(t + dt, 0, 1))
+            img, dep, alpha = render_frame(w2c_k, np.clip(t + dt, 0, 1))
+            acc = img if acc is None else acc + img
+        blurry = acc / blur_substeps
+        sharp, dep, alpha = render_frame(w2c, t)
+
+        # dynamic motion mask from the dynamic subset alpha
+        means_d = jnp.asarray(dyn_at(t))
+        out_d = rasterize(means_d, jnp.asarray(quats[n_static:]),
+                          jnp.asarray(scales[n_static:]),
+                          jnp.asarray(opac[n_static:]),
+                          jnp.asarray(colors[n_static:]),
+                          jnp.asarray(w2c), jnp.asarray(K), width, height,
+                          background=jnp.zeros(3), config=raster_cfg)
+        mask = (np.asarray(out_d.alphas[0]) > 0.3).astype(np.float32)
+
+        imgs.append(blurry); depths.append(dep); w2cs.append(w2c)
+        masks.append(mask)
+        blur_feats.append(float(B.blur_feature(jnp.asarray(blurry))))
+        test_imgs.append(sharp); test_w2cs.append(w2c)
+
+    data = SceneData(
+        w2c=np.stack(w2cs), K=np.tile(K[None], (num_frames, 1, 1)),
+        time=times, images=np.stack(imgs), depths=np.stack(depths),
+        blur_feats=np.asarray(blur_feats, np.float32),
+        masks=np.stack(masks), width=width, height=height,
+        max_time=float(num_frames - 1),
+        test_w2c=np.stack(test_w2cs), test_images=np.stack(test_imgs))
+    return data, traj
+
+
+def init_point_clouds(data: SceneData, traj: np.ndarray, n_stat: int,
+                      n_dyn: int, seed: int = 0):
+    """Seed point clouds from GT depth (stand-in for the warm stage)."""
+    rng = np.random.default_rng(seed)
+    V, H, W = data.depths.shape
+    # unproject frame-0 depth
+    stat_pts, stat_cols = [], []
+    for v in range(V):
+        dep = data.depths[v]
+        img = data.images[v]
+        ys, xs = np.mgrid[0:H, 0:W]
+        z = dep.reshape(-1)
+        ok = z > 0.1
+        K = data.K[v]
+        x = (xs.reshape(-1) + 0.5 - K[0, 2]) / K[0, 0] * z
+        y = (ys.reshape(-1) + 0.5 - K[1, 2]) / K[1, 1] * z
+        cam_pts = np.stack([x, y, z], -1)[ok]
+        c2w = np.linalg.inv(data.w2c[v])
+        wpts = cam_pts @ c2w[:3, :3].T + c2w[:3, 3]
+        nonmask = data.masks[v].reshape(-1)[ok] < 0.5
+        stat_pts.append(wpts[nonmask])
+        stat_cols.append(img.reshape(-1, 3)[ok][nonmask])
+    stat_pts = np.concatenate(stat_pts)
+    stat_cols = np.concatenate(stat_cols)
+    sel = rng.choice(len(stat_pts), size=min(n_stat, len(stat_pts)), replace=False)
+    dyn_sel = rng.choice(traj.shape[0], size=min(n_dyn, traj.shape[0]),
+                         replace=traj.shape[0] < n_dyn)
+    return (stat_pts[sel].astype(np.float32), stat_cols[sel].astype(np.float32),
+            traj[dyn_sel].astype(np.float32))

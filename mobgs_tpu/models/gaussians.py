@@ -58,6 +58,40 @@ class GaussianState(NamedTuple):
         return jnp.sum(self.live.astype(jnp.int32))
 
 
+class DiffFields(NamedTuple):
+    """The float (Adam-optimized) subset of GaussianState — the analogue
+    of the reference's per-Gaussian Adam param groups."""
+    xyz: jnp.ndarray
+    control_xyz: jnp.ndarray
+    features_dc: jnp.ndarray
+    features_rest: jnp.ndarray
+    features_t: jnp.ndarray
+    scaling: jnp.ndarray
+    rotation: jnp.ndarray
+    opacity: jnp.ndarray
+    omega: jnp.ndarray
+    motion: jnp.ndarray
+    zeta: jnp.ndarray
+    trbf_center: jnp.ndarray
+    trbf_scale: jnp.ndarray
+
+
+class AuxFields(NamedTuple):
+    control_num: jnp.ndarray
+    live: jnp.ndarray
+
+
+def split_diff(state: GaussianState):
+    diff = DiffFields(**{f: getattr(state, f) for f in DiffFields._fields})
+    aux = AuxFields(control_num=state.control_num, live=state.live)
+    return diff, aux
+
+
+def merge_diff(diff: DiffFields, aux: AuxFields) -> GaussianState:
+    return GaussianState(control_num=aux.control_num, live=aux.live,
+                         **diff._asdict())
+
+
 # ---------------------------------------------------------------------------
 # activations (reference gaussian_model.py:91-106)
 

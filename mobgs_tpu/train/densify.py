@@ -1,0 +1,205 @@
+"""Densification / pruning with fixed-capacity masked arrays.
+
+Behavioral reference: `helper_train.py:222-258` (controlgaussians mode 2
+— the mode train.py hardcodes at :208) and `scene/gaussian_model.py`
+(densify_and_clone :1480, densify_and_splitv2 :1210, prune_points :1068,
+reset_opacity :897, add_densification_stats :1352).
+
+The reference grows/shrinks torch tensors and performs "optimizer
+surgery" every densification interval. Under XLA that would mean a
+recompile per shape change, so here:
+
+* arrays have a static capacity and a ``live`` mask,
+* cloning/splitting scatters rows into free (dead) slots — a rank-match
+  between `cumsum(candidate_mask)` and the ordered free-slot list,
+* newly allocated slots get zeroed Adam moments (parity with
+  `cat_tensors_to_optimizer`'s zero-moment extension, :1102-1105),
+* pruning just clears ``live`` (the slot is recycled later),
+* capacity overflow silently drops the lowest-priority candidates (the
+  count is returned so callers can log it).
+
+Reference behavior notes mirrored exactly:
+* mode 2 increments the stop-counter ``flag`` only for the static set —
+  the dynamic set keeps densifying every interval for the whole run,
+* the dynamic grad threshold is halved (helper_train.py:236),
+* `densify_pruneclone` computes but never applies its prune mask; real
+  opacity-pruning only happens in the ``flag >= desicnt`` branch,
+* opacity reset every 3000 iters clamps activated opacity to ≤ 0.01 and
+  zeroes the opacity Adam moments.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mobgs_tpu.models import gaussians as G
+from mobgs_tpu.train.optim import AdamState
+
+
+class DensifyStats(NamedTuple):
+    xyz_grad_accum: jnp.ndarray  # [M]
+    denom: jnp.ndarray           # [M]
+    max_radii2d: jnp.ndarray     # [M]
+
+
+def init_stats(capacity: int) -> DensifyStats:
+    # three distinct buffers — donation-safe (no aliased leaves in jit)
+    return DensifyStats(jnp.zeros((capacity,), jnp.float32),
+                        jnp.zeros((capacity,), jnp.float32),
+                        jnp.zeros((capacity,), jnp.float32))
+
+
+def add_stats(stats: DensifyStats, means2d_grad: jnp.ndarray,
+              radii: jnp.ndarray, visible: jnp.ndarray) -> DensifyStats:
+    """Accumulate view-space gradient norms + max radii (reference
+    train.py:809-817, gaussian_model.py:1352-1355)."""
+    gnorm = jnp.linalg.norm(means2d_grad, axis=-1)
+    vis = visible.astype(jnp.float32)
+    return DensifyStats(
+        xyz_grad_accum=stats.xyz_grad_accum + gnorm * vis,
+        denom=stats.denom + vis,
+        max_radii2d=jnp.maximum(stats.max_radii2d,
+                                radii.astype(jnp.float32) * vis),
+    )
+
+
+def _alloc_slots(live: jnp.ndarray, want: jnp.ndarray):
+    """Map the i-th wanted candidate to the i-th free slot.
+
+    Returns (dest [M] int32, ok [M] bool): for each candidate index j
+    with want[j], dest[j] is a unique dead-slot index; ok[j] False if
+    capacity ran out.
+    """
+    M = live.shape[0]
+    free_slots = jnp.argsort(live, stable=True)  # dead (False) slots first
+    n_free = M - jnp.sum(live.astype(jnp.int32))
+    rank = jnp.cumsum(want.astype(jnp.int32)) - 1  # 0-based rank per candidate
+    ok = want & (rank < n_free)
+    dest = free_slots[jnp.clip(rank, 0, M - 1)]
+    # rejected candidates scatter out of bounds → dropped by mode='drop',
+    # so they can never race with an accepted write to the same slot
+    dest = jnp.where(ok, dest, M)
+    return dest, ok
+
+
+def _scatter_rows(state: G.GaussianState, src_idx: jnp.ndarray,
+                  dest: jnp.ndarray, ok: jnp.ndarray,
+                  overrides: dict | None = None) -> G.GaussianState:
+    """Copy rows src→dest (masked), with optional per-field overrides."""
+    overrides = overrides or {}
+
+    def scat(field, x):
+        row = overrides.get(field, x[src_idx])
+        return x.at[dest].set(row, mode="drop")
+
+    new = {f: scat(f, getattr(state, f)) for f in state._fields if f != "live"}
+    live = state.live.at[dest].set(True, mode="drop")
+    return G.GaussianState(live=live, **new)
+
+
+def _zero_moments_at(opt_state: AdamState, dest: jnp.ndarray,
+                     ok: jnp.ndarray) -> AdamState:
+    """Zero Adam moments for newly allocated slots (per-Gaussian leaves)."""
+    def z(x):
+        if x.ndim == 0 or x.shape[0] != ok.shape[0]:
+            return x  # non-per-Gaussian leaf (shouldn't occur for DiffFields)
+        return x.at[dest].set(0.0, mode="drop")
+    return AdamState(mu=jax.tree.map(z, opt_state.mu),
+                     nu=jax.tree.map(z, opt_state.nu), step=opt_state.step)
+
+
+def densify_clone_split(state: G.GaussianState, stats: DensifyStats,
+                        opt_state: AdamState, rng: jax.Array,
+                        grad_threshold: float, percent_dense: float,
+                        scene_extent: float, split_n: int = 2):
+    """Clone small high-grad Gaussians; split big high-grad ones.
+
+    Parity: densify_and_clone (:1480) + densify_and_splitv2 (:1210).
+    Returns (state, opt_state, stats, n_dropped).
+    """
+    grads = stats.xyz_grad_accum / jnp.maximum(stats.denom, 1e-12)
+    grads = jnp.where(jnp.isnan(grads), 0.0, grads)
+    max_scale = jnp.max(G.act_scaling(state), axis=1)
+    hi = (grads >= grad_threshold) & state.live
+
+    # ---- clone: small Gaussians copied verbatim
+    clone_mask = hi & (max_scale <= percent_dense * scene_extent)
+    idx = jnp.arange(state.capacity, dtype=jnp.int32)
+    dest, ok = _alloc_slots(state.live, clone_mask)
+    state = _scatter_rows(state, idx, dest, ok)
+    opt_state = _zero_moments_at(opt_state, dest, ok)
+    dropped = jnp.sum(clone_mask) - jnp.sum(ok)
+
+    # ---- split: big Gaussians → split_n children, parent pruned
+    split_mask = hi & (max_scale > percent_dense * scene_extent) & state.live
+    scales = G.act_scaling(state)
+    R = jax.vmap(lambda q: _quat_rot(q))(state.rotation)
+    child_state = state
+    for c in range(split_n):
+        rng, sub = jax.random.split(rng)
+        samples = jax.random.normal(sub, (state.capacity, 3)) * scales
+        new_xyz = jnp.einsum("nij,nj->ni", R, samples) + state.xyz
+        new_scaling = jnp.log(scales / (0.8 * split_n))
+        dest, ok = _alloc_slots(child_state.live, split_mask)
+        child_state = _scatter_rows(
+            child_state, idx, dest, ok,
+            overrides={"xyz": new_xyz[idx], "scaling": new_scaling[idx]})
+        opt_state = _zero_moments_at(opt_state, dest, ok)
+        dropped = dropped + jnp.sum(split_mask) - jnp.sum(ok)
+    # prune parents of successful splits
+    child_state = child_state._replace(live=child_state.live & ~split_mask)
+
+    new_stats = init_stats(state.capacity)
+    return child_state, opt_state, new_stats, dropped
+
+
+def _quat_rot(q):
+    from mobgs_tpu.core.se3 import quat_to_rotmat
+    return quat_to_rotmat(q)
+
+
+def prune_by_opacity(state: G.GaussianState, min_opacity: float) -> G.GaussianState:
+    keep = G.act_opacity(state) >= min_opacity
+    return state._replace(live=state.live & keep)
+
+
+def reset_opacity(state: G.GaussianState, opt_state: AdamState):
+    """Clamp activated opacity to ≤0.01, zero opacity moments (:897-903)."""
+    o = jnp.minimum(jax.nn.sigmoid(state.opacity), 0.01)
+    new_logits = jnp.log(o / (1.0 - o))
+    state = state._replace(opacity=new_logits)
+    opt_state = AdamState(
+        mu=opt_state.mu._replace(opacity=jnp.zeros_like(opt_state.mu.opacity)),
+        nu=opt_state.nu._replace(opacity=jnp.zeros_like(opt_state.nu.opacity)),
+        step=opt_state.step)
+    return state, opt_state
+
+
+def control_gaussians(state: G.GaussianState, stats: DensifyStats,
+                      opt_state: AdamState, rng: jax.Array,
+                      iteration: int, flag: int, opt_cfg,
+                      scene_extent: float, is_dynamic: bool):
+    """Host-level controller — the mode-2 dispatch (helper_train.py:222-258).
+
+    Called outside the hot jitted step at densification boundaries.
+    Returns (state, opt_state, stats, flag).
+    """
+    if iteration >= opt_cfg.densify_until_iter:
+        return state, opt_state, stats, flag
+    if (iteration > opt_cfg.densify_from_iter
+            and iteration % opt_cfg.densification_interval == 0):
+        if flag < opt_cfg.desicnt:
+            thr = opt_cfg.densify_grad_threshold * (0.5 if is_dynamic else 1.0)
+            state, opt_state, stats, _ = densify_clone_split(
+                state, stats, opt_state, rng, thr, opt_cfg.percent_dense,
+                scene_extent, split_n=2)
+            if not is_dynamic:
+                flag += 1
+        else:
+            state = prune_by_opacity(state, opt_cfg.opthr)
+    if iteration % opt_cfg.opacity_reset_interval == 0:
+        state, opt_state = reset_opacity(state, opt_state)
+    return state, opt_state, stats, flag

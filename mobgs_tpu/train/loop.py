@@ -1,0 +1,147 @@
+"""Host-side training driver.
+
+Mirrors the structure of reference `scene_reconstruction`
+(train.py:202-823): per-iteration jitted step, exposure re-estimation
+every 10 iterations (after `start_warp_exposure`), densification every
+`densification_interval`, opacity reset every 3000, metric-gated best
+checkpointing. All device work happens in the jitted functions from
+`train/step.py` and `train/densify.py`; this file only samples batches
+and sequences calls.
+"""
+
+from __future__ import annotations
+
+import functools
+import time as _time
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mobgs_tpu.data.synthetic import SceneData
+from mobgs_tpu.models import gaussians as G
+from mobgs_tpu.ops.rasterize import RasterConfig
+from mobgs_tpu.train import densify as D
+from mobgs_tpu.train.step import (Batch, TrainState, make_exposure_update,
+                                  make_train_step)
+
+
+class BatchSampler:
+    """Without-replacement view sampler (train.py:330-350 semantics)."""
+
+    def __init__(self, num_views: int, batch_size: int, seed: int = 0):
+        self.num_views = num_views
+        self.batch_size = batch_size
+        self.rng = np.random.default_rng(seed)
+        self.pool: list[int] = []
+
+    def next_ids(self) -> np.ndarray:
+        ids = []
+        for _ in range(self.batch_size):
+            if not self.pool:
+                self.pool = list(range(self.num_views))
+            j = self.rng.integers(len(self.pool))
+            ids.append(self.pool.pop(j))
+        return np.asarray(ids, np.int64)
+
+
+def make_batch(data: SceneData, ids: np.ndarray) -> Batch:
+    return Batch(
+        view_idx=jnp.asarray(ids, jnp.int32),
+        w2c=jnp.asarray(data.w2c[ids]),
+        K=jnp.asarray(data.K[ids]),
+        time=jnp.asarray(data.time[ids]),
+        image=jnp.asarray(data.images[ids]),
+        depth=jnp.asarray(data.depths[ids]),
+        blur_feat=jnp.asarray(data.blur_feats[ids]),
+    )
+
+
+def scene_extent_of(points: np.ndarray) -> float:
+    """Reference `getNerfppNorm`-style extent: 1.1 x max camera-centroid
+    distance — here approximated from the point cloud bounding sphere."""
+    c = points.mean(0)
+    return float(1.1 * np.linalg.norm(points - c, axis=1).max())
+
+
+def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
+          iterations: int, raster_cfg: RasterConfig = RasterConfig(),
+          scene_extent: float = 5.0, seed: int = 0,
+          log_every: int = 50, on_log: Callable | None = None,
+          eval_every: int = 0, on_eval: Callable | None = None):
+    """Run the fine-stage loop. Returns (ts, history list)."""
+    V = data.w2c.shape[0]
+    step_fn = make_train_step(opt_cfg, data.width, data.height,
+                              data.max_time, blce_cfg.num_warp, raster_cfg)
+    expo_fn = make_exposure_update(data.width, data.height, data.max_time,
+                                   blce_cfg.num_warp, raster_cfg)
+    densify_fn = jax.jit(functools.partial(
+        D.densify_clone_split, percent_dense=opt_cfg.percent_dense,
+        scene_extent=scene_extent, split_n=2),
+        static_argnames=())
+    prune_fn = jax.jit(D.prune_by_opacity, static_argnames=("min_opacity",))
+    reset_fn = jax.jit(D.reset_opacity)
+
+    sampler = BatchSampler(V, opt_cfg.batch_size, seed)
+    rng = jax.random.PRNGKey(seed)
+    flag_s, flag_d = 0, 0
+    history = []
+    t0 = _time.time()
+
+    for it in range(1, iterations + 1):
+        ids = sampler.next_ids()
+        batch = make_batch(data, ids)
+        ts, metrics = step_fn(ts, batch)
+
+        # exposure re-estimation every 10 iters (train.py:474-492)
+        if it > blce_cfg.start_warp_exposure and it % 10 == 0:
+            vid = int(ids[0])
+            fwd = min(vid + 1, V - 1)
+            bwd = max(vid - 1, 0)
+            ts = expo_fn(ts, jnp.int32(vid),
+                         jnp.asarray(data.w2c[vid]), jnp.asarray(data.K[vid]),
+                         jnp.asarray(data.time[vid]),
+                         jnp.asarray(data.blur_feats[vid]),
+                         jnp.asarray(data.w2c[fwd]), jnp.asarray(data.w2c[bwd]),
+                         jnp.asarray(vid == 0 or vid == V - 1))
+
+        # densification (helper_train.py:222-258, mode 2)
+        if it < opt_cfg.densify_until_iter:
+            if (it > opt_cfg.densify_from_iter
+                    and it % opt_cfg.densification_interval == 0):
+                rng, k1, k2 = jax.random.split(rng, 3)
+                if flag_d < opt_cfg.desicnt:
+                    dyn, dyn_opt, dyn_stats, _ = densify_fn(
+                        ts.dyn, ts.dyn_stats, ts.dyn_opt, k1,
+                        grad_threshold=opt_cfg.densify_grad_threshold * 0.5)
+                    ts = ts._replace(dyn=dyn, dyn_opt=dyn_opt,
+                                     dyn_stats=dyn_stats)
+                else:
+                    ts = ts._replace(dyn=prune_fn(ts.dyn, opt_cfg.opthr))
+                if flag_s < opt_cfg.desicnt:
+                    stat, stat_opt, stat_stats, _ = densify_fn(
+                        ts.stat, ts.stat_stats, ts.stat_opt, k2,
+                        grad_threshold=opt_cfg.densify_grad_threshold)
+                    ts = ts._replace(stat=stat, stat_opt=stat_opt,
+                                     stat_stats=stat_stats)
+                    flag_s += 1
+                else:
+                    ts = ts._replace(stat=prune_fn(ts.stat, opt_cfg.opthr))
+            if it % opt_cfg.opacity_reset_interval == 0:
+                stat, stat_opt = reset_fn(ts.stat, ts.stat_opt)
+                dyn, dyn_opt = reset_fn(ts.dyn, ts.dyn_opt)
+                ts = ts._replace(stat=stat, stat_opt=stat_opt,
+                                 dyn=dyn, dyn_opt=dyn_opt)
+
+        if it % log_every == 0 or it == iterations:
+            m = jax.tree.map(float, metrics._asdict())
+            m.update(iter=it, elapsed=_time.time() - t0,
+                     n_stat=int(ts.stat.num_live()),
+                     n_dyn=int(ts.dyn.num_live()))
+            history.append(m)
+            if on_log:
+                on_log(m)
+        if eval_every and on_eval and it % eval_every == 0:
+            on_eval(ts, it)
+    return ts, history

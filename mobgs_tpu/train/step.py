@@ -1,0 +1,270 @@
+"""The fine-stage training step — one jitted program per iteration.
+
+Behavioral reference: the hot loop `train.py:289-820`. The reference
+runs ~85-95 sequential CUDA rasterizer launches per iteration (2 cams x
+9 latent renders x multi-pass + 9 get_flow x 2 + exposure flows); here
+the whole iteration — BLCE pose prediction, all latent/flow renders,
+losses, gradients, Adam updates, densification stats — is ONE compiled
+XLA program, vmapped over the [B, E] (camera-batch x exposure) axes.
+
+Loss structure (train.py:597-678):
+  photo  = L1(mean-of-9-latents, gt_blurry) + λ_dssim (1 - SSIM)
+  reg    = 0.2 L1(depth, gt_depth)
+         + 1e-7 (entropy + sparsity)(dynamic alpha)
+         + λ_flow * bidirectional flow-warp consistency
+Densification stats use the mid render's view-space gradient, scaled by
+(W/2, H/2) (train.py:633-648).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mobgs_tpu.core import se3
+from mobgs_tpu.core.image import psnr
+from mobgs_tpu.data.cameras import Camera
+from mobgs_tpu.models import blce as B
+from mobgs_tpu.models import gaussians as G
+from mobgs_tpu.models import render as R
+from mobgs_tpu.models.sandwich import SandwichParams
+from mobgs_tpu.ops.rasterize import RasterConfig
+from mobgs_tpu.train import densify, losses
+from mobgs_tpu.train.optim import AdamState, adam_update, gaussian_lrs, init_adam
+
+
+class TrainState(NamedTuple):
+    stat: G.GaussianState
+    dyn: G.GaussianState
+    sandwich: SandwichParams
+    blce: B.BLCEState
+    stat_opt: AdamState
+    dyn_opt: AdamState
+    sandwich_opt: AdamState
+    blce_opt: AdamState
+    stat_stats: densify.DensifyStats
+    dyn_stats: densify.DensifyStats
+    step: jnp.ndarray  # scalar int32 iteration counter
+
+
+class Batch(NamedTuple):
+    """One sampled camera batch (arrays stacked over B)."""
+    view_idx: jnp.ndarray   # [B] int32
+    w2c: jnp.ndarray        # [B, 4, 4]
+    K: jnp.ndarray          # [B, 3, 3]
+    time: jnp.ndarray       # [B]
+    image: jnp.ndarray      # [B, H, W, 3] blurry GT
+    depth: jnp.ndarray      # [B, H, W] prior depth
+    blur_feat: jnp.ndarray  # [B] precomputed FFT blur features
+
+
+class Metrics(NamedTuple):
+    loss: jnp.ndarray
+    photo: jnp.ndarray
+    depth_l1: jnp.ndarray
+    mask: jnp.ndarray
+    flow: jnp.ndarray
+    psnr: jnp.ndarray
+
+
+def init_train_state(stat, dyn, sandwich, blce_state) -> TrainState:
+    sd, _ = G.split_diff(stat)
+    dd, _ = G.split_diff(dyn)
+    return TrainState(
+        stat=stat, dyn=dyn, sandwich=sandwich, blce=blce_state,
+        stat_opt=init_adam(sd), dyn_opt=init_adam(dd),
+        sandwich_opt=init_adam(sandwich),
+        blce_opt=init_adam(blce_state.params),
+        stat_stats=densify.init_stats(stat.capacity),
+        dyn_stats=densify.init_stats(dyn.capacity),
+        step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(opt_cfg, width: int, height: int,
+                    max_time: float, num_warp: int = 9,
+                    raster_cfg: RasterConfig = RasterConfig(),
+                    spatial_lr_scale: float = 5.0,
+                    use_blce: bool = True):
+    """Build the jitted per-iteration update."""
+    E = num_warp
+    half = E // 2
+    bg3 = jnp.zeros(3, jnp.float32)
+    lambda_dssim = opt_cfg.lambda_dssim
+    lambda_flow = opt_cfg.lambda_flow_loss
+    compute_flow = lambda_flow > 0
+
+    def forward(stat_diff, dyn_diff, sandwich, blce_params, offsets,
+                stat_aux, dyn_aux, expo_state, batch: Batch):
+        stat = G.merge_diff(stat_diff, stat_aux)
+        dyn = G.merge_diff(dyn_diff, dyn_aux)
+        blce_state = B.BLCEState(params=blce_params, exposure_expo=expo_state)
+        Bsz = batch.view_idx.shape[0]
+
+        def per_view(view_idx, w2c, K, time, gt_img, blur_feat, offset):
+            cam = Camera(w2c=w2c, K=K, time=time)
+
+            # ---- BLCE latent poses (blce.py:374-424)
+            if use_blce:
+                c2w = se3.view_to_world(w2c)
+                lat_c2w, expo = B.latent_poses(blce_state, c2w, blur_feat,
+                                               view_idx, E)
+                lat_w2c = se3.view_to_world(lat_c2w)  # inverse (rigid)
+            else:
+                lat_w2c = jnp.broadcast_to(w2c, (E, 4, 4))
+                expo = jnp.zeros((E,))
+
+            # ---- mid render at the ORIGINAL camera (train.py:441-469)
+            mid = R.render_view(stat, dyn, sandwich, cam, width, height,
+                                bg3, max_time, None, get_static=True,
+                                get_dynamic=True, means2d_offset=offset,
+                                config=raster_cfg)
+
+            # ---- the other E-1 latent sharp renders (train.py:502-541)
+            other = [i for i in range(E) if i != half]
+            lat_idx = jnp.asarray(other, jnp.int32)
+
+            def latent_render(w2c_e, d_expo):
+                cam_e = Camera(w2c=w2c_e, K=K, time=time)
+                out = R.render_view(stat, dyn, sandwich, cam_e, width,
+                                    height, bg3, max_time, d_expo,
+                                    config=raster_cfg)
+                return out.image
+
+            lat_imgs = jax.vmap(latent_render)(lat_w2c[lat_idx], expo[lat_idx])
+            pred_image = (jnp.sum(lat_imgs, axis=0) + mid.image) / E + 1e-10
+
+            # ---- exposure flow consistency (train.py:564-584)
+            if compute_flow:
+                ratios = (jnp.arange(E) - half) / half  # exposure_max_delta=1
+
+                def flow_render(d_expo):
+                    return R.get_flow(stat, dyn, sandwich, cam, width,
+                                      height, bg3, d_expo, max_time,
+                                      config=raster_cfg)
+
+                e2m, m2e, lat_f_imgs, lat_alphas = jax.vmap(flow_render)(ratios)
+                flow_l = losses.flow_warp_loss(
+                    mid.image, lat_f_imgs, lat_alphas, mid.d_alpha,
+                    e2m, m2e, width, height)
+            else:
+                flow_l = jnp.zeros(())
+
+            return dict(pred=pred_image, depth=mid.depth, d_alpha=mid.d_alpha,
+                        radii=mid.radii, flow_l=flow_l)
+
+        outs = jax.vmap(per_view)(batch.view_idx, batch.w2c, batch.K,
+                                  batch.time, batch.image, batch.blur_feat,
+                                  offsets)
+
+        pred = outs["pred"].transpose(0, 3, 1, 2)         # [B,3,H,W]
+        gt = batch.image.transpose(0, 3, 1, 2)
+        l1 = losses.l1_loss(pred, gt)
+        ssim_v = losses.ssim_loss_term(pred, gt) if lambda_dssim else 0.0
+        photo = l1 + lambda_dssim * (1.0 - ssim_v)
+
+        depth_l1 = losses.l1_loss(outs["depth"], batch.depth)
+        mask_l = 1e-7 * (losses.entropy_loss(outs["d_alpha"])
+                         + losses.sparsity_loss(outs["d_alpha"]))
+        flow_l = lambda_flow * jnp.sum(outs["flow_l"]) if compute_flow else 0.0
+        reg = 0.2 * depth_l1 + mask_l + flow_l
+        total = photo + reg
+
+        psnr_v = jnp.mean(psnr(jax.lax.stop_gradient(pred), gt))
+        aux = dict(radii=outs["radii"], photo=photo, depth_l1=depth_l1,
+                   mask=mask_l, flow=flow_l, psnr=psnr_v)
+        return total, aux
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(ts: TrainState, batch: Batch):
+        stat_diff, stat_aux = G.split_diff(ts.stat)
+        dyn_diff, dyn_aux = G.split_diff(ts.dyn)
+        Bsz = batch.view_idx.shape[0]
+        Ntot = ts.stat.capacity + ts.dyn.capacity
+        offsets = jnp.zeros((Bsz, Ntot, 2), jnp.float32)
+
+        grad_fn = jax.value_and_grad(forward, argnums=(0, 1, 2, 3, 4),
+                                     has_aux=True)
+        (total, aux), grads = grad_fn(stat_diff, dyn_diff, ts.sandwich,
+                                      ts.blce.params, offsets,
+                                      stat_aux, dyn_aux,
+                                      ts.blce.exposure_expo, batch)
+        g_stat, g_dyn, g_sand, g_blce, g_off = grads
+
+        # ---- densification stats from view-space grads (train.py:633-648)
+        Ms = ts.stat.capacity
+        vs_grad = jnp.sum(g_off, axis=0)  # accumulate over the batch
+        vs_grad = vs_grad * jnp.asarray([width * 0.5, height * 0.5])
+        radii = aux["radii"]                              # [B, Ntot]
+        radii_max = jnp.max(radii, axis=0)
+        visible = jnp.any(radii > 0, axis=0)
+        stat_stats = densify.add_stats(ts.stat_stats, vs_grad[:Ms],
+                                       radii_max[:Ms], visible[:Ms])
+        dyn_stats = densify.add_stats(ts.dyn_stats, vs_grad[Ms:],
+                                      radii_max[Ms:], visible[Ms:])
+
+        # ---- Adam updates
+        step = ts.step + 1
+        lrs = gaussian_lrs(opt_cfg, step, spatial_lr_scale)
+        new_stat_diff, stat_opt = adam_update(stat_diff, g_stat, ts.stat_opt, lrs)
+        new_dyn_diff, dyn_opt = adam_update(dyn_diff, g_dyn, ts.dyn_opt, lrs)
+        sand_lr = jax.tree.map(lambda _: jnp.asarray(opt_cfg.rgb_lr), ts.sandwich)
+        new_sand, sand_opt = adam_update(ts.sandwich, g_sand,
+                                         ts.sandwich_opt, sand_lr)
+        # BLCE: lr 1e-4 decayed by 0.01^(step/iterations) (blce.py:136-137)
+        blce_lr_v = 1e-4 * (0.01 ** (step.astype(jnp.float32) / opt_cfg.iterations))
+        blce_lr = jax.tree.map(lambda _: blce_lr_v, ts.blce.params)
+        new_blce_p, blce_opt = adam_update(ts.blce.params, g_blce,
+                                           ts.blce_opt, blce_lr)
+
+        new_ts = TrainState(
+            stat=G.merge_diff(new_stat_diff, stat_aux),
+            dyn=G.merge_diff(new_dyn_diff, dyn_aux),
+            sandwich=new_sand,
+            blce=ts.blce._replace(params=new_blce_p),
+            stat_opt=stat_opt, dyn_opt=dyn_opt, sandwich_opt=sand_opt,
+            blce_opt=blce_opt, stat_stats=stat_stats, dyn_stats=dyn_stats,
+            step=step)
+        metrics = Metrics(loss=total, photo=aux["photo"],
+                          depth_l1=aux["depth_l1"], mask=aux["mask"],
+                          flow=aux["flow"], psnr=aux["psnr"])
+        return new_ts, metrics
+
+    return train_step
+
+
+def make_exposure_update(width: int, height: int, max_time: float,
+                         num_warp: int = 9,
+                         raster_cfg: RasterConfig = RasterConfig()):
+    """Online exposure re-estimation (train.py:474-492, every 10 iters):
+    ratio of latent-window to frame-to-frame static flow magnitude."""
+
+    @jax.jit
+    def update(ts: TrainState, view_idx, w2c, K, time, blur_feat,
+               fwd_w2c, bwd_w2c, is_endpoint):
+        cam = Camera(w2c=w2c, K=K, time=time)
+        c2w = se3.view_to_world(w2c)
+        lat_c2w, _ = B.latent_poses(ts.blce, c2w, blur_feat, view_idx, num_warp)
+        lat_w2c = se3.view_to_world(lat_c2w)
+        start = Camera(w2c=lat_w2c[0], K=K, time=time)
+        end = Camera(w2c=lat_w2c[-1], K=K, time=time)
+        fwd = Camera(w2c=fwd_w2c, K=K, time=time)
+        bwd = Camera(w2c=bwd_w2c, K=K, time=time)
+
+        _, cam_flow = R.get_flow_static(ts.stat, bwd, fwd, cam,
+                                        width, height, config=raster_cfg)
+        _, lat_flow = R.get_flow_static(ts.stat, start, end, cam,
+                                        width, height, config=raster_cfg)
+        cam_mag = jnp.linalg.norm(cam_flow, axis=-1).reshape(-1)
+        lat_mag = jnp.linalg.norm(lat_flow, axis=-1).reshape(-1)
+        q = jnp.quantile(cam_mag, 0.01)
+        valid = cam_mag > q
+        ratio = jnp.where(valid, lat_mag / jnp.maximum(cam_mag, 1e-12), jnp.nan)
+        new_expo = jnp.nanmedian(ratio)
+        new_expo = jnp.where(is_endpoint, new_expo * 0.5, new_expo)
+        expo = ts.blce.exposure_expo.at[view_idx].set(new_expo)
+        return ts._replace(blce=ts.blce._replace(exposure_expo=expo))
+
+    return update

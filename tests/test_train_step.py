@@ -1,0 +1,120 @@
+"""End-to-end training smoke tests on a synthetic scene (small shapes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mobgs_tpu.config import BlceParams, OptimizationParams
+from mobgs_tpu.data import synthetic
+from mobgs_tpu.data.cameras import Camera
+from mobgs_tpu.models import blce as B
+from mobgs_tpu.models import gaussians as G
+from mobgs_tpu.models import render as R
+from mobgs_tpu.models.sandwich import init_sandwich
+from mobgs_tpu.ops.rasterize import RasterConfig
+from mobgs_tpu.train import densify as D
+from mobgs_tpu.train import loop as L
+from mobgs_tpu.train.optim import init_adam
+from mobgs_tpu.train.step import init_train_state
+
+CFG = RasterConfig(tile_chunk=6, max_per_tile=256)
+
+
+def build_everything(num_warp=3, lambda_flow=0.0, iters=1000,
+                     densify_from=10_000):
+    data, traj = synthetic.generate(width=64, height=48, num_frames=6,
+                                    n_static=300, n_dyn=80, blur_substeps=3,
+                                    raster_cfg=CFG)
+    s_pts, s_cols, d_traj = synthetic.init_point_clouds(data, traj, 400, 60)
+    times = jnp.asarray(data.time)
+
+    stat = G.create_state(jnp.asarray(s_pts), jnp.asarray(s_cols),
+                          jnp.zeros(len(s_pts)), capacity=512,
+                          rng=jax.random.PRNGKey(0))
+    dyn = G.create_state(jnp.asarray(d_traj[:, 0]),
+                         jnp.asarray(np.full((len(d_traj), 3), 0.5, np.float32)),
+                         jnp.zeros(len(d_traj)), capacity=128,
+                         trajectory=jnp.asarray(d_traj), traj_times=times)
+    sandwich = init_sandwich(jax.random.PRNGKey(1))
+    blce_state = B.init_blce(jax.random.PRNGKey(2), num_views=6,
+                             num_warp=num_warp)
+    ts = init_train_state(stat, dyn, sandwich, blce_state)
+
+    opt = OptimizationParams(iterations=iters, batch_size=2,
+                             lambda_flow_loss=lambda_flow,
+                             densify_from_iter=densify_from,
+                             densification_interval=10,
+                             densify_until_iter=densify_from + 100, desicnt=2,
+                             opacity_reset_interval=10_000)
+    blce_cfg = BlceParams(num_warp=num_warp, start_warp_exposure=8)
+    return ts, data, opt, blce_cfg
+
+
+def eval_psnr(ts, data, view=0):
+    cam = Camera(w2c=jnp.asarray(data.w2c[view]), K=jnp.asarray(data.K[view]),
+                 time=jnp.asarray(data.time[view]))
+    out = R.render_view(ts.stat, ts.dyn, ts.sandwich, cam, data.width,
+                        data.height, jnp.zeros(3), config=CFG)
+    mse = float(jnp.mean((out.image - jnp.asarray(data.test_images[view])) ** 2))
+    return -10 * np.log10(mse)
+
+
+def test_training_improves_eval_psnr():
+    ts, data, opt, blce_cfg = build_everything()
+    p0 = eval_psnr(ts, data)
+    ts, history = L.train(ts, data, opt, blce_cfg, iterations=60,
+                          raster_cfg=CFG, scene_extent=6.0, log_every=20)
+    p1 = eval_psnr(ts, data)
+    assert np.isfinite([h["psnr"] for h in history]).all()
+    assert p1 > p0 + 0.3, f"eval PSNR did not improve: {p0:.2f} -> {p1:.2f}"
+    expo = np.asarray(ts.blce.exposure_expo)
+    assert np.isfinite(expo).all()
+    assert int(ts.step) == 60
+
+
+def test_training_step_with_flow_loss():
+    ts, data, opt, blce_cfg = build_everything(lambda_flow=1e-2)
+    ts, history = L.train(ts, data, opt, blce_cfg, iterations=3,
+                          raster_cfg=CFG, scene_extent=6.0, log_every=1)
+    for h in history:
+        assert np.isfinite(h["loss"])
+        assert np.isfinite(h["flow"])
+
+
+def test_densify_clone_split_and_prune():
+    # direct unit test of the fixed-capacity densifier
+    rng = np.random.default_rng(0)
+    n, cap = 40, 128
+    pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    state = G.create_state(pts, jnp.full((n, 3), 0.5),
+                           jnp.zeros(n), cap, rng=jax.random.PRNGKey(0))
+    sd, _ = G.split_diff(state)
+    opt_state = init_adam(sd)
+    stats = D.DensifyStats(
+        xyz_grad_accum=jnp.full((cap,), 1.0) * state.live,
+        denom=jnp.ones((cap,)) * state.live,
+        max_radii2d=jnp.zeros((cap,)))
+
+    # small extent -> everything counts as "big" -> split path
+    st2, opt2, stats2, dropped = D.densify_clone_split(
+        state, stats, opt_state, jax.random.PRNGKey(1),
+        grad_threshold=0.5, percent_dense=0.01, scene_extent=1e-6, split_n=2)
+    assert int(st2.num_live()) == 2 * n  # each parent -> 2 children
+    # children got fresh (zeroed) moments: moments at newly live slots == 0
+    new_live = np.asarray(st2.live & ~state.live)
+    assert np.all(np.asarray(opt2.mu.xyz)[new_live] == 0)
+
+    # huge extent -> everything "small" -> clone path
+    st3, _, _, _ = D.densify_clone_split(
+        state, stats, opt_state, jax.random.PRNGKey(2),
+        grad_threshold=0.5, percent_dense=0.01, scene_extent=1e6, split_n=2)
+    assert int(st3.num_live()) == 2 * n
+
+    # opacity prune kills everything at threshold 1.0
+    st4 = D.prune_by_opacity(st2, min_opacity=0.99)
+    assert int(st4.num_live()) == 0
+
+    # opacity reset clamps activated opacity to <= 0.01
+    st5, _ = D.reset_opacity(st2, opt2)
+    o = np.asarray(G.act_opacity(st5))
+    assert o[np.asarray(st5.live)].max() <= 0.0101
