@@ -81,13 +81,32 @@ def generate(width: int = 128, height: int = 72, num_frames: int = 12,
     def dyn_at(t):
         return d_base + d_vel[None] * t
 
-    def render_frame(w2c, t):
-        means = jnp.asarray(np.concatenate([s_pts, dyn_at(t)], 0))
+    # jitted once — eager rasterization through a remote-compile TPU
+    # tunnel would compile per-op and take hours
+    @jax.jit
+    def _render_posed(means, w2c):
         out = rasterize(means, jnp.asarray(quats), jnp.asarray(scales),
                         jnp.asarray(opac), jnp.asarray(colors),
-                        jnp.asarray(w2c), jnp.asarray(K), width, height,
+                        w2c, jnp.asarray(K), width, height,
                         background=jnp.zeros(3), config=raster_cfg)
-        return np.asarray(out.images[0]), np.asarray(out.depths[0]), np.asarray(out.alphas[0])
+        return out.images[0], out.depths[0], out.alphas[0]
+
+    w2c_dummy = np.eye(4, dtype=np.float32)
+
+    @jax.jit
+    def _render_dyn(means_d, w2c):
+        out = rasterize(means_d, jnp.asarray(quats[n_static:]),
+                        jnp.asarray(scales[n_static:]),
+                        jnp.asarray(opac[n_static:]),
+                        jnp.asarray(colors[n_static:]),
+                        w2c, jnp.asarray(K), width, height,
+                        background=jnp.zeros(3), config=raster_cfg)
+        return out.alphas[0]
+
+    def render_frame(w2c, t):
+        means = jnp.asarray(np.concatenate([s_pts, dyn_at(t)], 0))
+        img, dep, alpha = _render_posed(means, jnp.asarray(w2c))
+        return np.asarray(img), np.asarray(dep), np.asarray(alpha)
 
     times = np.linspace(0, 1, num_frames).astype(np.float32)
     imgs, depths, blur_feats, w2cs, masks = [], [], [], [], []
@@ -108,17 +127,12 @@ def generate(width: int = 128, height: int = 72, num_frames: int = 12,
 
         # dynamic motion mask from the dynamic subset alpha
         means_d = jnp.asarray(dyn_at(t))
-        out_d = rasterize(means_d, jnp.asarray(quats[n_static:]),
-                          jnp.asarray(scales[n_static:]),
-                          jnp.asarray(opac[n_static:]),
-                          jnp.asarray(colors[n_static:]),
-                          jnp.asarray(w2c), jnp.asarray(K), width, height,
-                          background=jnp.zeros(3), config=raster_cfg)
-        mask = (np.asarray(out_d.alphas[0]) > 0.3).astype(np.float32)
+        mask = (np.asarray(_render_dyn(means_d, jnp.asarray(w2c))) > 0.3
+                ).astype(np.float32)
 
         imgs.append(blurry); depths.append(dep); w2cs.append(w2c)
         masks.append(mask)
-        blur_feats.append(float(B.blur_feature(jnp.asarray(blurry))))
+        blur_feats.append(float(jax.jit(B.blur_feature)(jnp.asarray(blurry))))
         test_imgs.append(sharp); test_w2cs.append(w2c)
 
     data = SceneData(

@@ -1,0 +1,135 @@
+"""Dataset loader tests on fabricated on-disk fixtures."""
+
+import json
+import os
+
+import numpy as np
+
+
+def make_stereo_fixture(root, V=4, H=288, W=512):
+    """Fabricate a minimal DyBluRF-stereo scene directory."""
+    from PIL import Image
+    rng = np.random.default_rng(0)
+    os.makedirs(f"{root}/images_512x288", exist_ok=True)
+    os.makedirs(f"{root}/inference_images", exist_ok=True)
+    os.makedirs(f"{root}/align_uni_depth_noclip", exist_ok=True)
+    os.makedirs(f"{root}/motion_masks_manual", exist_ok=True)
+    os.makedirs(f"{root}/bootstapir", exist_ok=True)
+
+    # LLFF poses_bounds: [2V, 17]
+    poses = np.zeros((2 * V, 3, 5))
+    for i in range(2 * V):
+        # c2w in LLFF convention ([down right back] ordering quirk handled
+        # by the loader's permutation)
+        poses[i, :, :3] = np.eye(3)
+        poses[i, :, 3] = [0.1 * i, 0, 0.5]
+        poses[i, :, 4] = [720, 1280, 800.0]  # h, w, focal at original res
+    arr = np.concatenate([poses.reshape(2 * V, 15),
+                          np.tile([[1.0, 10.0]], (2 * V, 1))], axis=1)
+    np.save(f"{root}/poses_bounds.npy", arr)
+    json.dump({"center": [0.0, 0.0, 0.0]}, open(f"{root}/scene.json", "w"))
+
+    P = 16
+    for i in range(V):
+        img = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(f"{root}/images_512x288/{i:05d}.png")
+        Image.fromarray(img).save(f"{root}/inference_images/{i:05d}.png")
+        np.save(f"{root}/align_uni_depth_noclip/{i:05d}.npy",
+                rng.uniform(2, 5, (H, W)).astype(np.float32))
+        mask = (rng.uniform(size=(H, W)) > 0.8).astype(np.uint8) * 255
+        Image.fromarray(mask).save(f"{root}/motion_masks_manual/{i:05d}.png")
+        for j in range(V):
+            tracks = np.concatenate([
+                rng.uniform(0, W, (P, 1)), rng.uniform(0, H, (P, 1)),
+                rng.normal(size=(P, 1)), rng.normal(size=(P, 1))], axis=1)
+            np.save(f"{root}/bootstapir/{i:05d}_{j:05d}.npy",
+                    tracks.astype(np.float32))
+
+
+def test_stereo_loader(tmp_path):
+    from mobgs_tpu.data.stereo import load_stereo_scene, sniff_dataset_type
+    root = str(tmp_path / "scene")
+    V = 4
+    make_stereo_fixture(root, V=V)
+    assert sniff_dataset_type(root) == "nvidia"
+    scene = load_stereo_scene(root)
+    d = scene.data
+    assert d.images.shape == (V, 288, 512, 3)
+    assert d.depths.shape == (V, 288, 512)
+    assert d.w2c.shape == (V, 4, 4)
+    assert d.test_w2c.shape == (V, 4, 4)
+    assert abs(float(d.time[-1]) - 1.0) < 1e-6
+    assert d.max_time == V - 1
+    # focal rescaled 720 -> 288
+    assert abs(d.K[0, 0, 0] - 800.0 / 2.5) < 1e-3
+    # depth normalized by global mean -> overall mean ~ 1
+    assert abs(d.depths.mean() - 1.0) < 0.1
+    # tracklet concatenated over V query frames x 16 points
+    assert scene.tracklet.shape == (V, V * 16, 2)
+    # poses are valid rigid transforms
+    Rb = d.w2c[:, :3, :3]
+    eye = np.einsum("nij,nik->njk", Rb, Rb)
+    np.testing.assert_allclose(eye, np.tile(np.eye(3), (V, 1, 1)), atol=1e-5)
+    assert np.isfinite(d.blur_feats).all()
+
+
+def test_blender_loader(tmp_path):
+    from PIL import Image
+    from mobgs_tpu.data.scene import load_scene
+    root = str(tmp_path / "blender")
+    os.makedirs(f"{root}/train", exist_ok=True)
+    rng = np.random.default_rng(1)
+    frames = []
+    for i in range(3):
+        img = (rng.uniform(size=(32, 40, 4)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(f"{root}/train/r_{i}.png")
+        c2w = np.eye(4); c2w[0, 3] = i * 0.1
+        frames.append({"file_path": f"train/r_{i}",
+                       "transform_matrix": c2w.tolist()})
+    json.dump({"camera_angle_x": 0.7, "frames": frames},
+              open(f"{root}/transforms_train.json", "w"))
+    data = load_scene(root)
+    assert data.images.shape == (3, 32, 40, 3)
+    assert data.w2c.shape == (3, 4, 4)
+
+
+def test_colmap_binary_round_trip(tmp_path):
+    import struct
+    from mobgs_tpu.data import colmap
+    # fabricate a points3D.bin with 2 points
+    p = tmp_path / "points3D.bin"
+    with open(p, "wb") as f:
+        f.write(struct.pack("<Q", 2))
+        for i in range(2):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<ddd", i, 2.0 * i, 3.0 * i))
+            f.write(struct.pack("<BBB", 255, 128, 0))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 1))
+            f.write(struct.pack("<ii", 0, 0))
+    xyz, rgb, err = colmap.read_points3d_binary(str(p))
+    np.testing.assert_allclose(xyz[1], [1, 2, 3])
+    np.testing.assert_allclose(rgb[0], [1.0, 128 / 255, 0])
+
+    # cameras.bin with one PINHOLE camera
+    c = tmp_path / "cameras.bin"
+    with open(c, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, 640, 480))
+        f.write(struct.pack("<dddd", 500.0, 510.0, 320.0, 240.0))
+    cams = colmap.read_cameras_binary(str(c))
+    assert cams[1].model == "PINHOLE" and cams[1].width == 640
+
+    # images.bin with one image
+    im = tmp_path / "images.bin"
+    with open(im, "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<i", 1))
+        f.write(struct.pack("<dddd", 1.0, 0, 0, 0))
+        f.write(struct.pack("<ddd", 0.1, 0.2, 0.3))
+        f.write(struct.pack("<i", 1))
+        f.write(b"frame.png\x00")
+        f.write(struct.pack("<Q", 0))
+    imgs = colmap.read_images_binary(str(im))
+    assert imgs[1].name == "frame.png"
+    np.testing.assert_allclose(colmap.qvec_to_rotmat(imgs[1].qvec), np.eye(3))
