@@ -39,7 +39,7 @@ def main():
         W, H, F = 512, 288, 24
         n_stat, n_dyn = 20_000, 10_000
         cap_mult = 2
-        raster_cfg = RasterConfig(tiles_per_gauss=16, max_per_tile=512,
+        raster_cfg = RasterConfig(tiles_per_gauss=9, max_per_tile=384,
                                   tile_chunk=36)
         iters_timed = 20
     else:  # CPU fallback keeps the bench runnable anywhere (scaled down)

@@ -1,0 +1,327 @@
+"""Pallas TPU tile-compositing kernels (production rasterization path).
+
+The XLA compositor (`raster_jax.py`) materializes [tiles, K, pixels]
+alpha panels and pays a log-depth cumprod plus full recompute in the
+backward pass. These kernels keep each 16x16 tile's working set in VMEM
+and walk the depth-ordered Gaussian list front-to-back in chunks:
+
+* forward: per chunk — sigma/alpha on the VPU, an unrolled exclusive
+  prefix-product for intra-chunk transmittance, and one [P, CH] x
+  [CH, CE] MXU matmul to accumulate all channels; early exit when the
+  tile's transmittance is saturated or the list is exhausted,
+* backward: front-to-back replay using the forward output as the
+  suffix-sum anchor (the standard 3DGS backward identity
+  dC/dα_i = c_i·T_i − S_i/(1−α_i) with S_i = C_total − prefix_i),
+  producing per-(tile, slot) gradient records that XLA scatter-adds
+  back to the Gaussian axis.
+
+Data layout: scalar per-Gaussian records are PACKED as one
+``[T, 8, K]`` array (rows: mx, my, conic-a, conic-b, conic-c, opacity,
+2 pad) so each tile is a single sublane-aligned DMA; extended channels
+are ``CE = C + 2`` [colors ‖ depth ‖ 1], so image / expected depth /
+alpha come from one accumulation. Interpret mode (CPU) is used
+automatically off-TPU so the same code path is testable everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from mobgs_tpu.ops.projection import ProjectedSplats
+from mobgs_tpu.ops.tiles import TILE, TileBins
+
+P = TILE * TILE  # 256 pixels per tile
+CH = 64          # Gaussians processed per chunk (sublane-friendly)
+R = 8            # packed record rows (6 used + 2 pad)
+ALPHA_MAX = 0.99
+ALPHA_MIN = 1.0 / 255.0
+TRANS_EPS = 1e-4
+
+
+def _tile_pixel_grid(ntx: int, dtype=jnp.float32):
+    """Per-program GLOBAL pixel coordinates for this tile, [1, P]."""
+    t = pl.program_id(0)
+    ox = ((t % ntx) * TILE).astype(dtype)
+    oy = ((t // ntx) * TILE).astype(dtype)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
+    px = (lin % TILE).astype(dtype) + 0.5 + ox
+    py = (lin // TILE).astype(dtype) + 0.5 + oy
+    return px, py
+
+
+def _chunk_alpha(rec, live, px, py):
+    """Alpha panel for one chunk. rec [R, CH]; returns [CH, P] pieces."""
+    mx, my = rec[0][:, None], rec[1][:, None]
+    ca, cb, cc, op = (rec[2][:, None], rec[3][:, None], rec[4][:, None],
+                      rec[5][:, None])
+    dx = px - mx
+    dy = py - my
+    sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
+    raw = op * jnp.exp(-sigma)
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    valid = (sigma >= 0) & (alpha > ALPHA_MIN) & live[:, None]
+    return jnp.where(valid, alpha, 0.0), dx, dy, sigma, valid, raw
+
+
+def _excl_prefix_prod(one_m_alpha):
+    """Exclusive prefix product along axis 0 of [CH, P].
+
+    Hillis-Steele doubling scan: log2(CH) shifted multiplies instead of
+    CH-1 serial ones (the per-chunk loop runs serially on the single
+    TensorCore, so op count dominates)."""
+    x = one_m_alpha
+    sh = 1
+    while sh < CH:
+        pad = jnp.ones((sh, x.shape[1]), x.dtype)
+        x = x * jnp.concatenate([pad, x[:-sh]], axis=0)
+        sh *= 2
+    total = x[CH - 1]
+    excl = jnp.concatenate([jnp.ones((1, x.shape[1]), x.dtype), x[:-1]], 0)
+    return excl, total
+
+
+def _incl_prefix_sum(u):
+    """Inclusive prefix sum along axis 0 of [CH, P] (doubling scan)."""
+    x = u
+    sh = 1
+    while sh < CH:
+        pad = jnp.zeros((sh, x.shape[1]), x.dtype)
+        x = x + jnp.concatenate([pad, x[:-sh]], axis=0)
+        sh *= 2
+    return x
+
+
+def _fwd_kernel(ntx, count_ref, rec_ref, col_ref, out_ref, acc, trans):
+    n_chunks = rec_ref.shape[1]
+    count = count_ref[pl.program_id(0), 0]
+    px, py = _tile_pixel_grid(ntx)
+
+    acc[...] = jnp.zeros_like(acc)
+    trans[...] = jnp.ones_like(trans)
+
+    def cond(state):
+        j, tmax = state
+        return (j < n_chunks) & (j * CH < count) & (tmax > TRANS_EPS)
+
+    def body(state):
+        j, _ = state
+        s = j * CH
+        live = (jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)[:, 0] + s) < count
+        rec = rec_ref[0, j, :, :]                  # [R, CH]
+        col = col_ref[0, j, :, :]                  # [CH, CE]
+        alpha, _, _, _, _, _ = _chunk_alpha(rec, live, px, py)
+        prefix, total = _excl_prefix_prod(1.0 - alpha)
+        w = alpha * prefix * trans[...]            # [CH, P]
+        acc[...] += jax.lax.dot_general(
+            w, col, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [P, CE]
+        new_trans = trans[...] * total
+        trans[...] = new_trans
+        return j + 1, jnp.max(new_trans)
+
+    jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
+    out_ref[0, :, :] = acc[...]
+
+
+def _bwd_kernel(ntx, count_ref, rec_ref, col_ref, out_ref, g_ref,
+                grec_ref, gcol_ref, trans, gacc, gdt):
+    n_chunks = rec_ref.shape[1]
+    count = count_ref[pl.program_id(0), 0]
+    px, py = _tile_pixel_grid(ntx)
+
+    g = g_ref[0, :, :]                    # [P, CE]
+    out_tot = out_ref[0, :, :]            # [P, CE] forward output (no bg)
+    # Σ_ch g·C_total per pixel, via ONE MXU matvec stored in scratch.
+    # Expressed as a lane-axis jnp.sum it gets rematerialized inside
+    # every loop iteration and costs ~23µs each (73ms/pass measured);
+    # hoisted through scratch the whole backward drops to ~6.5ms.
+    gdt[...] = jax.lax.dot_general(
+        g * out_tot, jnp.ones((g.shape[1], 1), jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(1, -1)
+
+    trans[...] = jnp.ones_like(trans)
+    gacc[...] = jnp.zeros_like(gacc)
+    grec_ref[...] = jnp.zeros_like(grec_ref)
+    gcol_ref[...] = jnp.zeros_like(gcol_ref)
+
+    def cond(state):
+        j, tmax = state
+        return (j < n_chunks) & (j * CH < count) & (tmax > TRANS_EPS)
+
+    def body(state):
+        j, _ = state
+        s = j * CH
+        live = (jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)[:, 0] + s) < count
+        rec = rec_ref[0, j, :, :]                  # [R, CH]
+        col = col_ref[0, j, :, :]                  # [CH, CE]
+        ca, cb, cc = rec[2][:, None], rec[3][:, None], rec[4][:, None]
+
+        alpha, dx, dy, sigma, valid, raw = _chunk_alpha(rec, live, px, py)
+        prefix, total = _excl_prefix_prod(1.0 - alpha)
+        T_i = prefix * trans[...]                  # [CH, P]
+        w = alpha * T_i
+
+        cg = jax.lax.dot_general(col, g, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # [CH,P]
+        u = w * cg
+        gacc_incl = _incl_prefix_sum(u) + gacc[...]  # [CH, P] (+carry)
+
+        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        s_term = (gdt[...] - gacc_incl) / one_m
+        g_alpha = T_i * cg - s_term
+        gate = valid & (raw < ALPHA_MAX)
+        g_alpha = jnp.where(gate, g_alpha, 0.0)
+
+        g_sigma = -alpha * g_alpha                 # [CH, P]
+        # Reduce the six per-Gaussian integrals over pixels with ONE MXU
+        # matvec ([6CH, P] @ [P, 1]) — lane-axis jnp.sum reductions are
+        # ~15x slower on this core (measured 67ms -> <5ms).
+        panels = jnp.concatenate([
+            g_sigma * (ca * dx + cb * dy),
+            g_sigma * (cc * dy + cb * dx),
+            g_sigma * 0.5 * dx * dx,
+            g_sigma * dx * dy,
+            g_sigma * 0.5 * dy * dy,
+            jnp.where(gate, jnp.exp(-sigma) * g_alpha, 0.0),
+        ], axis=0)                                 # [6CH, P]
+        red = jax.lax.dot_general(
+            panels, jnp.ones((panels.shape[1], 1), jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [6CH, 1]
+        grec = jnp.concatenate(
+            [red.reshape(6, CH), jnp.zeros((2, CH), jnp.float32)], axis=0)
+        grec_ref[0, j, :, :] = grec                # [R, CH]
+        gcol_ref[0, j, :, :] = jax.lax.dot_general(
+            w, g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        new_trans = trans[...] * total
+        trans[...] = new_trans
+        gacc[...] = gacc_incl[CH - 1][None]
+        return j + 1, jnp.max(new_trans)
+
+    jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pack_recs(bins: TileBins, splats: ProjectedSplats,
+               opacities: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-tile records into the packed [T, n_chunks, R, CH]
+    layout (chunk axis leading so kernels index it dynamically without
+    lane-dim slicing)."""
+    ids = bins.gauss_ids                     # [T, K]
+    T, K = ids.shape
+    rows = jnp.stack([
+        splats.means2d[:, 0], splats.means2d[:, 1],
+        splats.conics[:, 0], splats.conics[:, 1], splats.conics[:, 2],
+        opacities,
+        jnp.zeros_like(opacities), jnp.zeros_like(opacities),
+    ], axis=0)                               # [R, N]
+    packed = rows[:, ids]                    # [R, T, K]
+    packed = packed.reshape(R, T, K // CH, CH).transpose(1, 2, 0, 3)
+    return packed                            # [T, n_chunks, R, CH]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _composite_core(n_tiles: int, K: int, ntx: int, recs: jnp.ndarray,
+                    colors_t: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
+    return _composite_fwd_call(n_tiles, K, ntx, recs, colors_t, counts)
+
+
+def _composite_fwd_call(n_tiles, K, ntx, recs, colors_t, counts):
+    CE = colors_t.shape[-1]
+    NC = K // CH
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, ntx),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # counts [T,1]
+            pl.BlockSpec((1, NC, R, CH), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NC, CH, CE), lambda t: (t, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, P, CE), lambda t: (t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, P, CE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((P, CE), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32)],
+        interpret=_interpret(),
+    )(counts[:, None], recs, colors_t)
+    return out
+
+
+def _composite_fwd(n_tiles, K, ntx, recs, colors_t, counts):
+    out = _composite_fwd_call(n_tiles, K, ntx, recs, colors_t, counts)
+    return out, (recs, colors_t, counts, out)
+
+
+def _composite_bwd(n_tiles, K, ntx, res, g):
+    recs, colors_t, counts, out = res
+    CE = colors_t.shape[-1]
+    NC = K // CH
+    pspec = pl.BlockSpec((1, P, CE), lambda t: (t, 0, 0))
+    grec, gcol = pl.pallas_call(
+        functools.partial(_bwd_kernel, ntx),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NC, R, CH), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NC, CH, CE), lambda t: (t, 0, 0, 0)),
+            pspec, pspec,
+        ],
+        out_specs=(pl.BlockSpec((1, NC, R, CH), lambda t: (t, 0, 0, 0)),
+                   pl.BlockSpec((1, NC, CH, CE), lambda t: (t, 0, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, NC, R, CH), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, NC, CH, CE), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32)],
+        interpret=_interpret(),
+    )(counts[:, None], recs, colors_t, out, g)
+    # mean gradients carry a -(dsigma/d dx) sign (rows 0, 1)
+    sign = jnp.asarray([-1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0])
+    grec = grec * sign[None, None, :, None]
+    return grec, gcol, None
+
+
+_composite_core.defvjp(_composite_fwd, _composite_bwd)
+
+
+def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
+                           colors: jnp.ndarray, opacities: jnp.ndarray,
+                           width: int, height: int,
+                           background: jnp.ndarray | None = None,
+                           tile_chunk: int = 0):
+    """Drop-in replacement for `raster_jax.composite_tiles`."""
+    ntx, nty = int(bins.n_tiles_x), int(bins.n_tiles_y)
+    n_tiles = ntx * nty
+    K = bins.gauss_ids.shape[1]
+    assert K % CH == 0, f"max_per_tile must be a multiple of {CH}"
+    N, C = colors.shape
+    dt = colors.dtype
+
+    colors_ext = jnp.concatenate(
+        [colors, splats.depths[:, None], jnp.ones((N, 1), dt)], axis=1)
+    CE = C + 2
+    recs = _pack_recs(bins, splats, opacities)      # [T, NC, R, CH]
+    colors_t = colors_ext[bins.gauss_ids].reshape(
+        n_tiles, K // CH, CH, CE)                   # [T, NC, CH, CE]
+    out = _composite_core(n_tiles, K, ntx, recs, colors_t, bins.counts)
+
+    full = out.reshape(nty, ntx, TILE, TILE, CE)
+    full = full.transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, CE)
+    full = full[:height, :width]
+    image = full[..., :C]
+    depth_acc = full[..., C]
+    alpha = full[..., C + 1]
+    if background is not None:
+        image = image + background[None, None, :] * (1.0 - alpha[..., None])
+    exp_depth = depth_acc / jnp.maximum(alpha, 1e-10)
+    return image, alpha, exp_depth

@@ -32,6 +32,7 @@ class RasterConfig(NamedTuple):
     eps2d: float = 0.3
     near: float = 0.01
     sigma_cut: float = 3.0
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
 
 
 class RasterOut(NamedTuple):
@@ -80,12 +81,26 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
     if pass_masks is None:
         pass_masks = jnp.ones((1, means.shape[0]), means.dtype)
 
-    def one_pass(mask):
-        return raster_jax.composite_tiles(
-            bins, splats, colors, opacities * mask, width, height,
-            background=background, tile_chunk=config.tile_chunk)
+    backend = config.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend == "pallas":
+        from mobgs_tpu.ops import pallas_raster
+        composite = pallas_raster.composite_tiles_pallas
+    else:
+        composite = raster_jax.composite_tiles
 
-    images, alphas, depths = jax.vmap(one_pass)(pass_masks)
+    def one_pass(mask):
+        return composite(bins, splats, colors, opacities * mask,
+                         width, height, background=background,
+                         tile_chunk=config.tile_chunk)
+
+    # static unrolled loop over passes (pass count is tiny and static;
+    # avoids vmap-of-pallas_call batching rules)
+    outs = [one_pass(pass_masks[i]) for i in range(pass_masks.shape[0])]
+    images = jnp.stack([o[0] for o in outs])
+    alphas = jnp.stack([o[1] for o in outs])
+    depths = jnp.stack([o[2] for o in outs])
     return RasterOut(images=images, alphas=alphas, depths=depths,
                      means2d=splats.means2d, radii=splats.radii)
 

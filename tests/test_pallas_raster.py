@@ -1,0 +1,81 @@
+"""Pallas compositing kernels vs the XLA compositor (interpret mode on CPU)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mobgs_tpu.ops import pallas_raster, projection, raster_jax, tiles
+
+W, H = 64, 48
+
+
+def setup(n=300, seed=0):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(n, 3)).astype(np.float32)
+    means[:, 2] += 6.0
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    scales = np.exp(rng.uniform(-3.5, -1.5, size=(n, 3))).astype(np.float32)
+    opac = rng.uniform(0.2, 0.95, size=(n,)).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    viewmat = jnp.eye(4)
+    K = jnp.asarray([[60.0, 0, W / 2], [0, 60.0, H / 2], [0, 0, 1]])
+    splats = projection.project(jnp.asarray(means), jnp.asarray(quats),
+                                jnp.asarray(scales), viewmat, K, W, H)
+    bins = tiles.bin_gaussians(splats, W, H, tiles_per_gauss=36,
+                               max_per_tile=128)
+    return splats, bins, jnp.asarray(colors), jnp.asarray(opac)
+
+
+def test_pallas_forward_matches_xla():
+    splats, bins, colors, opac = setup()
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    img_x, a_x, d_x = raster_jax.composite_tiles(bins, splats, colors, opac,
+                                                 W, H, background=bg,
+                                                 tile_chunk=6)
+    img_p, a_p, d_p = pallas_raster.composite_tiles_pallas(
+        bins, splats, colors, opac, W, H, background=bg)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a_p), np.asarray(a_x), atol=2e-5)
+    mask = np.asarray(a_x) > 1e-3
+    np.testing.assert_allclose(np.asarray(d_p)[mask], np.asarray(d_x)[mask],
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_pallas_gradients_match_xla():
+    splats, bins, colors, opac = setup(n=150, seed=1)
+    bg = jnp.zeros(3)
+    target = jnp.zeros((H, W, 3))
+
+    def loss(fn, m2d, con, dep, colors, opac):
+        s2 = splats._replace(means2d=m2d, conics=con, depths=dep)
+        img, a, d = fn(bins, s2, colors, opac, W, H, background=bg)
+        return (jnp.mean((img - target) ** 2) + 0.1 * jnp.mean(a)
+                + jnp.mean(jnp.where(a > 0.01, d, 0.0)) * 1e-3)
+
+    args = (splats.means2d, splats.conics, splats.depths, colors, opac)
+    g_x = jax.grad(lambda *a: loss(raster_jax.composite_tiles, *a),
+                   argnums=(0, 1, 2, 3, 4))(*args)
+    g_p = jax.grad(lambda *a: loss(pallas_raster.composite_tiles_pallas, *a),
+                   argnums=(0, 1, 2, 3, 4))(*args)
+    names = ["means2d", "conics", "depths", "colors", "opac"]
+    for a, b, nm in zip(g_p, g_x, names):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                                   rtol=2e-3, err_msg=nm)
+
+
+def test_pallas_vmap_over_passes():
+    splats, bins, colors, opac = setup(n=100, seed=2)
+    n = opac.shape[0]
+    masks = jnp.stack([jnp.ones(n), (jnp.arange(n) % 2 == 0).astype(jnp.float32)])
+
+    def one(mask):
+        img, a, d = pallas_raster.composite_tiles_pallas(
+            bins, splats, colors, opac * mask, W, H,
+            background=jnp.zeros(3))
+        return img
+
+    batched = jax.vmap(one)(masks)
+    solo = jnp.stack([one(masks[0]), one(masks[1])])
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(solo),
+                               atol=1e-5)
