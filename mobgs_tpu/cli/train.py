@@ -34,6 +34,11 @@ def main(argv=None):
                    help="WxHxFrames for --synthetic")
     p.add_argument("--num_warp", type=int, default=None,
                    help="override latent exposure count (default 9)")
+    p.add_argument("--start_checkpoint", type=str, default="",
+                   help="resume from a full-state .npz checkpoint")
+    p.add_argument("--check_seed", action="store_true",
+                   help="seed-sweep mode: truncate at 5000 iters and append "
+                        "best PSNR to seed.txt (reference train.py:290,1008)")
     p.add_argument("--quiet", action="store_true")
     args = p.parse_args(argv)
 
@@ -111,6 +116,10 @@ def main(argv=None):
                              view_dim=cfg.blce.view_dim,
                              num_warp=cfg.blce.num_warp)
     ts = init_train_state(stat, dyn, sandwich, blce_state)
+    if args.start_checkpoint:
+        from mobgs_tpu.io.checkpoint import load_train_state
+        ts = load_train_state(args.start_checkpoint, ts)
+        print(f"resumed from {args.start_checkpoint} @ step {int(ts.step)}")
     extent = L.scene_extent_of(np.asarray(s_pts))
 
     out_dir = args.model_path or os.path.join("output", args.expname)
@@ -154,12 +163,27 @@ def main(argv=None):
         np.savez(os.path.join(d, "blce.npz"),
                  exposure_expo=np.asarray(ts_now.blce.exposure_expo),
                  **{k: v for k, v in blce_np.items()})
+        from mobgs_tpu.io.checkpoint import save_train_state
+        save_train_state(os.path.join(d, "train_state.npz"), ts_now)
 
+    def on_debug(ts_now, it):
+        if cfg.model.debug_process:
+            from mobgs_tpu.train.debug_vis import dump_debug_images
+            dump_debug_images(ts_now, data, it, out_dir,
+                              raster_cfg=raster_cfg)
+
+    n_iters = min(cfg.opt.iterations, 5000) if args.check_seed \
+        else cfg.opt.iterations
     ts, history = L.train(
-        ts, data, cfg.opt, cfg.blce, iterations=cfg.opt.iterations,
+        ts, data, cfg.opt, cfg.blce, iterations=n_iters,
         raster_cfg=raster_cfg, scene_extent=extent, seed=args.seed,
         log_every=50, on_log=on_log,
-        eval_every=args.test_iterations, on_eval=on_eval)
+        eval_every=args.test_iterations, on_eval=on_eval,
+        debug_every=300, on_debug=on_debug)
+    if args.check_seed:
+        with open("seed.txt", "a") as f:
+            f.write(f"seed {args.seed}: best_psnr {best['psnr']:.4f} "
+                    f"@ {best['iter']}\n")
 
     save_checkpoint(ts, out_dir, str(cfg.opt.iterations))
     with open(os.path.join(out_dir, "history.json"), "w") as f:

@@ -43,22 +43,33 @@ def attribute_names() -> list[str]:
 
 
 def write_ply(path: str, columns: dict[str, np.ndarray]) -> None:
-    """Binary-little-endian PLY with float32 vertex properties."""
+    """Binary-little-endian PLY with float32 vertex properties.
+
+    Uses the native C++ codec (mobgs_tpu.io.native) when available,
+    falling back to pure python."""
     names = list(columns.keys())
     n = len(columns[names[0]])
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    data = np.stack([np.asarray(columns[nm], np.float32).reshape(n)
+                     for nm in names], axis=1)
+    from mobgs_tpu.io import native
+    if native.ply_write(path, names, data):
+        return
     header = ["ply", "format binary_little_endian 1.0",
               f"element vertex {n}"]
     header += [f"property float {nm}" for nm in names]
     header += ["end_header", ""]
-    data = np.stack([np.asarray(columns[nm], np.float32).reshape(n)
-                     for nm in names], axis=1)
     with open(path, "wb") as f:
         f.write("\n".join(header).encode("ascii"))
         f.write(data.astype("<f4").tobytes())
 
 
 def read_ply(path: str) -> dict[str, np.ndarray]:
+    from mobgs_tpu.io import native
+    res = native.ply_read(path)
+    if res is not None:
+        names, data = res
+        return {nm: data[:, i].copy() for i, nm in enumerate(names)}
     with open(path, "rb") as f:
         header = b""
         while not header.endswith(b"end_header\n"):

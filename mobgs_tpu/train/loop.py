@@ -69,7 +69,8 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
           iterations: int, raster_cfg: RasterConfig = RasterConfig(),
           scene_extent: float = 5.0, seed: int = 0,
           log_every: int = 50, on_log: Callable | None = None,
-          eval_every: int = 0, on_eval: Callable | None = None):
+          eval_every: int = 0, on_eval: Callable | None = None,
+          debug_every: int = 0, on_debug: Callable | None = None):
     """Run the fine-stage loop. Returns (ts, history list)."""
     V = data.w2c.shape[0]
     step_fn = make_train_step(opt_cfg, data.width, data.height,
@@ -136,6 +137,11 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
 
         if it % log_every == 0 or it == iterations:
             m = jax.tree.map(float, metrics._asdict())
+            if not np.isfinite(m["loss"]):
+                # fail-stop on NaN like the reference (train.py:681-683),
+                # but with a real exception instead of exit()
+                raise FloatingPointError(
+                    f"loss is non-finite at iteration {it}: {m}")
             m.update(iter=it, elapsed=_time.time() - t0,
                      n_stat=int(ts.stat.num_live()),
                      n_dyn=int(ts.dyn.num_live()))
@@ -144,4 +150,6 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
                 on_log(m)
         if eval_every and on_eval and it % eval_every == 0:
             on_eval(ts, it)
+        if debug_every and on_debug and (it == 1 or it % debug_every == 0):
+            on_debug(ts, it)
     return ts, history

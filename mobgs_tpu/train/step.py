@@ -116,9 +116,13 @@ def make_train_step(opt_cfg, width: int, height: int,
                 lat_w2c = jnp.broadcast_to(w2c, (E, 4, 4))
                 expo = jnp.zeros((E,))
 
-            # ---- mid render at the ORIGINAL camera (train.py:441-469)
+            # ---- mid render at the ORIGINAL camera (train.py:441-469).
+            # The reference also renders a static-only pass here, but its
+            # outputs feed only the /300-iteration debug dumps
+            # (train.py:699-711) — that pass lives in the debug path, not
+            # the hot step.
             mid = R.render_view(stat, dyn, sandwich, cam, width, height,
-                                bg3, max_time, None, get_static=True,
+                                bg3, max_time, None, get_static=False,
                                 get_dynamic=True, means2d_offset=offset,
                                 config=raster_cfg)
 
