@@ -73,10 +73,16 @@ def load_blender_scene(path: str, white_background: bool = False,
         max_time=float(max(V - 1, 1)), test_w2c=t_w2cs, test_images=t_imgs)
 
 
+def _load_iphone(path, **kw):
+    from mobgs_tpu.data.iphone import load_iphone_scene
+    return load_iphone_scene(path, **kw)
+
+
 SCENE_LOAD_CALLBACKS: dict[str, Callable] = {
     "nvidia": lambda p, **kw: load_stereo_scene(p).data,
     "stereo": lambda p, **kw: load_stereo_scene(p).data,
     "blender": load_blender_scene,
+    "dycheck": _load_iphone,
 }
 
 

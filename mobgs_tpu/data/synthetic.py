@@ -103,37 +103,50 @@ def generate(width: int = 128, height: int = 72, num_frames: int = 12,
                         background=jnp.zeros(3), config=raster_cfg)
         return out.alphas[0]
 
-    def render_frame(w2c, t):
-        means = jnp.asarray(np.concatenate([s_pts, dyn_at(t)], 0))
-        img, dep, alpha = _render_posed(means, jnp.asarray(w2c))
-        return np.asarray(img), np.asarray(dep), np.asarray(alpha)
-
     times = np.linspace(0, 1, num_frames).astype(np.float32)
-    imgs, depths, blur_feats, w2cs, masks = [], [], [], [], []
-    test_imgs, test_w2cs = [], []
     traj = np.stack([dyn_at(t) for t in times], axis=1)  # [Nd, V, 3]
 
+    # Build ALL (time, pose) pairs host-side, render them in a handful of
+    # vmapped device calls — per-frame eager round-trips through the
+    # remote TPU tunnel cost seconds each.
+    sub_ts, sub_w2cs = [], []
     for t in times:
-        w2c = _orbit_w2c(t)
-        # blurry train view: average renders across the exposure window
-        acc = None
         for k in range(blur_substeps):
-            dt = exposure * (k / max(blur_substeps - 1, 1) - 0.5) / max(num_frames - 1, 1)
-            w2c_k = _orbit_w2c(np.clip(t + dt, 0, 1))
-            img, dep, alpha = render_frame(w2c_k, np.clip(t + dt, 0, 1))
-            acc = img if acc is None else acc + img
-        blurry = acc / blur_substeps
-        sharp, dep, alpha = render_frame(w2c, t)
+            dt = exposure * (k / max(blur_substeps - 1, 1) - 0.5) / \
+                max(num_frames - 1, 1)
+            tk = float(np.clip(t + dt, 0, 1))
+            sub_ts.append(tk)
+            sub_w2cs.append(_orbit_w2c(tk))
+    sharp_w2cs = np.stack([_orbit_w2c(t) for t in times])
 
-        # dynamic motion mask from the dynamic subset alpha
-        means_d = jnp.asarray(dyn_at(t))
-        mask = (np.asarray(_render_dyn(means_d, jnp.asarray(w2c))) > 0.3
-                ).astype(np.float32)
+    all_means = np.stack([np.concatenate([s_pts, dyn_at(t)], 0)
+                          for t in sub_ts + list(times)])
+    all_w2c = np.concatenate([np.stack(sub_w2cs), sharp_w2cs], 0)
+    imgs_all, deps_all, _ = jax.vmap(_render_posed)(
+        jnp.asarray(all_means), jnp.asarray(all_w2c))
+    imgs_all = np.asarray(imgs_all)
+    deps_all = np.asarray(deps_all)
+    nsub = len(sub_ts)
+    blurry_all = imgs_all[:nsub].reshape(
+        num_frames, blur_substeps, height, width, 3).mean(axis=1)
+    sharp_all = imgs_all[nsub:]
+    dep_all = deps_all[nsub:]
 
-        imgs.append(blurry); depths.append(dep); w2cs.append(w2c)
-        masks.append(mask)
-        blur_feats.append(float(jax.jit(B.blur_feature)(jnp.asarray(blurry))))
-        test_imgs.append(sharp); test_w2cs.append(w2c)
+    dyn_means = np.stack([dyn_at(t) for t in times])
+    d_alpha_all = np.asarray(jax.vmap(_render_dyn)(
+        jnp.asarray(dyn_means), jnp.asarray(sharp_w2cs)))
+    bf_all = np.asarray(jax.vmap(B.blur_feature)(jnp.asarray(blurry_all)))
+
+    imgs, depths, blur_feats, w2cs, masks = [], [], [], [], []
+    test_imgs, test_w2cs = [], []
+    for i, t in enumerate(times):
+        imgs.append(blurry_all[i])
+        depths.append(dep_all[i])
+        w2cs.append(sharp_w2cs[i])
+        masks.append((d_alpha_all[i] > 0.3).astype(np.float32))
+        blur_feats.append(float(bf_all[i]))
+        test_imgs.append(sharp_all[i])
+        test_w2cs.append(sharp_w2cs[i])
 
     data = SceneData(
         w2c=np.stack(w2cs), K=np.tile(K[None], (num_frames, 1, 1)),
