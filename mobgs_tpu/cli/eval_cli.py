@@ -41,12 +41,28 @@ def main(argv=None):
     stat = load_gaussians(os.path.join(ck, "point_cloud_static.ply"))
     sandwich = load_sandwich_pt(os.path.join(ck, "point_cloud.pt"))
 
+    # align test poses through the BLCE-refined train poses
+    # (reference train.py:746-764) when a BLCE checkpoint is present
+    test_w2c = jnp.asarray(data.test_w2c)
+    blce_path = os.path.join(ck, "blce.npz")
+    if os.path.exists(blce_path):
+        from mobgs_tpu.eval.align import align_test_poses
+        from mobgs_tpu.models.blce import BLCEParams, BLCEState
+        z = np.load(blce_path)
+        params = BLCEParams(**{f: jnp.asarray(z[f])
+                               for f in BLCEParams._fields})
+        blce_state = BLCEState(params=params,
+                               exposure_expo=jnp.asarray(z["exposure_expo"]))
+        test_w2c = align_test_poses(blce_state, jnp.asarray(data.w2c),
+                                    test_w2c, jnp.asarray(data.blur_feats))
+        print("aligned test poses through BLCE mid-exposure cameras")
+
     tto = make_tto(stat, dyn, sandwich, data.width, data.height,
                    data.max_time, steps=args.tto_steps)
     V = data.test_w2c.shape[0]
     lr_scale = np.full(V, 0.1, np.float32)
     lr_scale[0] = 1.0  # reference boosts only the first camera
-    res = tto(jnp.asarray(data.test_w2c), jnp.asarray(data.K),
+    res = tto(test_w2c, jnp.asarray(data.K),
               jnp.asarray(data.time), jnp.asarray(data.test_images),
               jnp.asarray(lr_scale))
 

@@ -122,10 +122,23 @@ def generate(width: int = 128, height: int = 72, num_frames: int = 12,
     all_means = np.stack([np.concatenate([s_pts, dyn_at(t)], 0)
                           for t in sub_ts + list(times)])
     all_w2c = np.concatenate([np.stack(sub_w2cs), sharp_w2cs], 0)
-    imgs_all, deps_all, _ = jax.vmap(_render_posed)(
-        jnp.asarray(all_means), jnp.asarray(all_w2c))
-    imgs_all = np.asarray(imgs_all)
-    deps_all = np.asarray(deps_all)
+    # chunked batched render: full vmap over ~170 views would blow HBM
+    # via the per-tile record gathers
+    batched = jax.jit(jax.vmap(_render_posed))
+    chunk = 16
+    n_all = all_means.shape[0]
+    pad = (-n_all) % chunk
+    if pad:
+        all_means = np.concatenate([all_means, all_means[-1:].repeat(pad, 0)])
+        all_w2c = np.concatenate([all_w2c, all_w2c[-1:].repeat(pad, 0)])
+    imgs_l, deps_l = [], []
+    for i in range(0, all_means.shape[0], chunk):
+        im, de, _ = batched(jnp.asarray(all_means[i:i + chunk]),
+                            jnp.asarray(all_w2c[i:i + chunk]))
+        imgs_l.append(np.asarray(im))
+        deps_l.append(np.asarray(de))
+    imgs_all = np.concatenate(imgs_l)[:n_all]
+    deps_all = np.concatenate(deps_l)[:n_all]
     nsub = len(sub_ts)
     blurry_all = imgs_all[:nsub].reshape(
         num_frames, blur_substeps, height, width, 3).mean(axis=1)

@@ -147,3 +147,23 @@ def test_sandwich_decoder():
     out = apply_sandwich(params, feat, rays)
     assert out.shape == (H, W, 3)
     assert np.all((np.asarray(out) >= 0) & (np.asarray(out) <= 1))
+
+
+def test_align_test_poses_identity_at_init():
+    # with tiny-init BLCE the mid latent pose ~= the input pose, so the
+    # aligned test pose must ~= the original test pose
+    from mobgs_tpu.eval.align import align_test_poses
+    state = B.init_blce(jax.random.PRNGKey(0), num_views=3, num_warp=9)
+    rng = np.random.default_rng(0)
+    def rand_w2c(k):
+        q = rng.normal(size=4); q /= np.linalg.norm(q)
+        from mobgs_tpu.core import se3
+        R = np.asarray(se3.quat_to_rotmat(jnp.asarray(q, jnp.float32)))
+        w = np.eye(4, dtype=np.float32); w[:3,:3] = R; w[:3,3] = rng.normal(size=3)
+        return w
+    train = jnp.asarray(np.stack([rand_w2c(i) for i in range(3)]))
+    test = jnp.asarray(np.stack([rand_w2c(i+3) for i in range(3)]))
+    bf = jnp.full((3,), 0.5)
+    aligned = align_test_poses(state, train, test, bf, num_warp=9)
+    np.testing.assert_allclose(np.asarray(aligned), np.asarray(test),
+                               atol=5e-3)
