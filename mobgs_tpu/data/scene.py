@@ -78,16 +78,29 @@ def _load_iphone(path, **kw):
     return load_iphone_scene(path, **kw)
 
 
+def _load_dynerf(path, **kw):
+    from mobgs_tpu.data.dynerf import load_dynerf_scene
+    return load_dynerf_scene(path, **kw)
+
+
 SCENE_LOAD_CALLBACKS: dict[str, Callable] = {
     "nvidia": lambda p, **kw: load_stereo_scene(p).data,
     "stereo": lambda p, **kw: load_stereo_scene(p).data,
     "blender": load_blender_scene,
     "dycheck": _load_iphone,
+    "dynerf": _load_dynerf,
 }
 
 
-def load_scene(path: str, **kwargs) -> SceneData:
-    kind = sniff_dataset_type(path)
+def load_scene(path: str, kind: str | None = None, **kwargs) -> SceneData:
+    if kind is None:
+        kind = sniff_dataset_type(path)
+        # poses_bounds.npy is shared by the stereo and Neural3D layouts;
+        # per-camera video dirs disambiguate DyNeRF
+        if kind == "nvidia" and (
+                os.path.isdir(os.path.join(path, "cam00"))
+                or os.path.exists(os.path.join(path, "cam00.mp4"))):
+            kind = "dynerf"
     if kind not in SCENE_LOAD_CALLBACKS:
         raise NotImplementedError(f"dataset type {kind} at {path}")
     return SCENE_LOAD_CALLBACKS[kind](path, **kwargs)

@@ -133,3 +133,32 @@ def test_colmap_binary_round_trip(tmp_path):
     imgs = colmap.read_images_binary(str(im))
     assert imgs[1].name == "frame.png"
     np.testing.assert_allclose(colmap.qvec_to_rotmat(imgs[1].qvec), np.eye(3))
+
+
+def test_dynerf_loader(tmp_path):
+    from PIL import Image
+    from mobgs_tpu.data.scene import load_scene
+    root = str(tmp_path / "dynerf")
+    rng = np.random.default_rng(2)
+    n_cams, T, H, W = 3, 4, 36, 48
+    poses = np.zeros((n_cams, 3, 5))
+    for i in range(n_cams):
+        poses[i, :, :3] = np.eye(3)
+        poses[i, :, 3] = [0.2 * i, 0, 1.0]
+        poses[i, :, 4] = [2 * H, 2 * W, 100.0]
+    arr = np.concatenate([poses.reshape(n_cams, 15),
+                          np.tile([[1.0, 10.0]], (n_cams, 1))], 1)
+    os.makedirs(root, exist_ok=True)
+    np.save(f"{root}/poses_bounds.npy", arr)
+    for c in range(n_cams):
+        d = f"{root}/cam{c:02d}/images"
+        os.makedirs(d, exist_ok=True)
+        for t in range(T):
+            img = (rng.uniform(size=(2 * H, 2 * W, 3)) * 255).astype(np.uint8)
+            Image.fromarray(img).save(f"{d}/{t:04d}.png")
+    data = load_scene(root, downscale=2, max_frames=T)
+    # cam 0 held out: 2 train cams x T frames
+    assert data.images.shape == (2 * T, H, W, 3)
+    assert data.test_images.shape == (T, H, W, 3)
+    assert data.K[0, 0, 0] == 50.0  # focal / downscale
+    assert np.isfinite(data.w2c).all()
