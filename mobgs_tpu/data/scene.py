@@ -74,8 +74,13 @@ def load_blender_scene(path: str, white_background: bool = False,
 
 
 def _load_iphone(path, **kw):
-    from mobgs_tpu.data.iphone import load_iphone_scene
-    return load_iphone_scene(path, **kw)
+    # dataset.json marks both the Record3D/iPhone layout (splits/ dir)
+    # and HyperNeRF (metadata.json); dispatch on the marker files
+    if os.path.isdir(os.path.join(path, "splits")):
+        from mobgs_tpu.data.iphone import load_iphone_scene
+        return load_iphone_scene(path, **kw)
+    from mobgs_tpu.data.hypernerf import load_hypernerf_scene
+    return load_hypernerf_scene(path, **kw)
 
 
 def _load_dynerf(path, **kw):

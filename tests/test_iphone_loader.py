@@ -84,3 +84,36 @@ def test_dycheck_camera_model():
     pix = np.array([[xd * 100 + 32, yd * 100 + 24]])
     undist = cam2.undistort_pixels(pix)
     np.testing.assert_allclose(undist[0], x, atol=1e-6)
+
+
+def test_hypernerf_loader(tmp_path):
+    from PIL import Image
+    from mobgs_tpu.data.scene import load_scene
+    root = str(tmp_path / "hyper")
+    rng = np.random.default_rng(1)
+    H, W = 40, 56  # at 2x downscale
+    n = 8
+    ids = [f"{i:06d}" for i in range(n)]
+    os.makedirs(f"{root}/rgb/2x", exist_ok=True)
+    os.makedirs(f"{root}/camera", exist_ok=True)
+    json.dump({"near": 0.1, "far": 10, "scale": 1.0, "center": [0, 0, 0]},
+              open(f"{root}/scene.json", "w"))
+    json.dump({"ids": ids, "val_ids": [], "train_ids": []},
+              open(f"{root}/dataset.json", "w"))
+    json.dump({i: {"warp_id": k, "appearance_id": k, "camera_id": 0}
+               for k, i in enumerate(ids)},
+              open(f"{root}/metadata.json", "w"))
+    for i in ids:
+        img = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(f"{root}/rgb/2x/{i}.png")
+        json.dump({"orientation": np.eye(3).tolist(),
+                   "position": [0, 0, -2.0], "focal_length": 100.0,
+                   "principal_point": [W, H],
+                   "image_size": [2 * W, 2 * H]},
+                  open(f"{root}/camera/{i}.json", "w"))
+    data = load_scene(root, ratio=0.5)
+    # every-4th split: train = {0,4}, test = {2}
+    assert data.images.shape[0] == 2
+    assert data.test_images.shape[0] == 1
+    assert data.images.shape[1:] == (H, W, 3)
+    assert data.K[0, 0, 0] == 50.0
