@@ -91,6 +91,13 @@ def project(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
     a = j00 * (j00 * c00 + j02 * c02) + j02 * (j00 * c02 + j02 * c22) + eps2d
     b = j00 * (j11 * c01 + j12 * c02) + j02 * (j11 * c12 + j12 * c22)
     c = j11 * (j11 * c11 + j12 * c12) + j12 * (j11 * c12 + j12 * c22) + eps2d
+    # runaway log-scales can push cov2d to inf, where det = inf - inf = NaN
+    # poisons grads via 0*NaN; bound the 2D covariance instead (a Gaussian
+    # this large is screen-filling garbage either way)
+    big = 1e12
+    a = jnp.clip(a, 0.0, big)
+    b = jnp.clip(b, -big, big)
+    c = jnp.clip(c, 0.0, big)
     det = a * c - b * b
     det = jnp.maximum(det, 1e-12)
     inv_det = 1.0 / det

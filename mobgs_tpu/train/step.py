@@ -217,7 +217,16 @@ def make_train_step(opt_cfg, width: int, height: int,
         sand_lr = jax.tree.map(lambda _: jnp.asarray(opt_cfg.rgb_lr), ts.sandwich)
         new_sand, sand_opt = adam_update(ts.sandwich, g_sand,
                                          ts.sandwich_opt, sand_lr)
-        # BLCE: lr 1e-4 decayed by 0.01^(step/iterations) (blce.py:136-137)
+        # BLCE: lr 1e-4 decayed by 0.01^(step/iterations) (blce.py:136-137).
+        # Global-norm clip: the SE(3) exp-map's 1/|w| factors amplify pose
+        # gradients when the decoded axis passes near zero (observed NaN
+        # blow-up ~iteration 1.4k without it; the reference shares the
+        # parametrization but torch's non-finite grads fail silently).
+        gnorm = jnp.sqrt(sum(jnp.sum(g * g)
+                             for g in jax.tree.leaves(g_blce)) + 1e-20)
+        scale = jnp.minimum(1.0, 1.0 / gnorm)
+        scale = jnp.where(jnp.isfinite(gnorm), scale, 0.0)
+        g_blce = jax.tree.map(lambda g: g * scale, g_blce)
         blce_lr_v = 1e-4 * (0.01 ** (step.astype(jnp.float32) / opt_cfg.iterations))
         blce_lr = jax.tree.map(lambda _: blce_lr_v, ts.blce.params)
         new_blce_p, blce_opt = adam_update(ts.blce.params, g_blce,
@@ -268,6 +277,9 @@ def make_exposure_update(width: int, height: int, max_time: float,
         ratio = jnp.where(valid, lat_mag / jnp.maximum(cam_mag, 1e-12), jnp.nan)
         new_expo = jnp.nanmedian(ratio)
         new_expo = jnp.where(is_endpoint, new_expo * 0.5, new_expo)
+        # keep the previous value if the estimate degenerates
+        new_expo = jnp.where(jnp.isfinite(new_expo), new_expo,
+                             ts.blce.exposure_expo[view_idx])
         expo = ts.blce.exposure_expo.at[view_idx].set(new_expo)
         return ts._replace(blce=ts.blce._replace(exposure_expo=expo))
 
