@@ -95,6 +95,26 @@ def main():
     dt = time.time() - t0
     ips = iters_timed / dt
 
+    # inference: rendered frames/sec (combined pass, eval/TTO rate)
+    from mobgs_tpu.data.cameras import Camera
+    from mobgs_tpu.models import render as R
+
+    @jax.jit
+    def render_frame(ts_in, w2c, K_in, t):
+        cam = Camera(w2c=w2c, K=K_in, time=t)
+        return R.render_view(ts_in.stat, ts_in.dyn, ts_in.sandwich, cam,
+                             W, H, jnp.zeros(3), data.max_time,
+                             config=raster_cfg).image
+
+    img = render_frame(ts, batch.w2c[0], batch.K[0], batch.time[0])
+    jax.block_until_ready(img)
+    t0 = time.time()
+    for i in range(10):
+        img = render_frame(ts, batch.w2c[i % 2], batch.K[i % 2],
+                           batch.time[i % 2])
+    jax.block_until_ready(img)
+    fps = 10 / (time.time() - t0)
+
     platform = jax.devices()[0].platform
     result = {
         "metric": f"train_iters_per_sec_seesaw_protocol_{platform}",
@@ -104,8 +124,8 @@ def main():
     }
     print(json.dumps(result))
     print(f"# compile {compile_s:.1f}s, {iters_timed} iters in {dt:.2f}s, "
-          f"loss {float(m.loss):.4f}, psnr {float(m.psnr):.2f}",
-          file=sys.stderr)
+          f"loss {float(m.loss):.4f}, psnr {float(m.psnr):.2f}, "
+          f"render {fps:.1f} frames/sec/chip", file=sys.stderr)
 
 
 if __name__ == "__main__":
