@@ -167,3 +167,34 @@ def test_align_test_poses_identity_at_init():
     aligned = align_test_poses(state, train, test, bf, num_warp=9)
     np.testing.assert_allclose(np.asarray(aligned), np.asarray(test),
                                atol=5e-3)
+
+
+def test_assemble_exposure_time_semantics():
+    """Parity with renderer :93-125: with delta_exposure, rotations and
+    features use Δt = (t + Δe/max_time) - trbf_center, spline time is
+    clipped to [0,1]."""
+    stat, dyn = make_states(seed=5)
+    rng = np.random.default_rng(5)
+    dyn = dyn._replace(
+        omega=jnp.asarray(rng.normal(size=dyn.omega.shape).astype(np.float32)),
+        features_t=jnp.asarray(rng.normal(size=dyn.features_t.shape).astype(np.float32)),
+        trbf_center=jnp.asarray(rng.uniform(size=dyn.trbf_center.shape).astype(np.float32)))
+    t, delta, max_time = 0.9, 4.0, 10.0
+    geom = R.assemble(stat, dyn, t, max_time=max_time, delta_exposure=delta)
+
+    t_eff = t + delta / max_time          # 1.3, NOT clipped for features
+    dt = t_eff - np.asarray(dyn.trbf_center)
+    Ms = stat.capacity
+    # features: [dc || dt * f_t]
+    want_feat = np.concatenate([np.asarray(dyn.features_dc),
+                                dt * np.asarray(dyn.features_t)], axis=1)
+    np.testing.assert_allclose(np.asarray(geom.colors[Ms:]), want_feat,
+                               rtol=1e-5, atol=1e-6)
+    # rotations: normalize(q + dt * omega)
+    q = np.asarray(dyn.rotation) + dt * np.asarray(dyn.omega)
+    q /= np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    np.testing.assert_allclose(np.asarray(geom.quats[Ms:]), q, atol=1e-5)
+    # spline evaluated at clip(t_eff, 0, 1) = 1.0
+    want_pos = np.asarray(G.positions_at(dyn, 1.0))
+    np.testing.assert_allclose(np.asarray(geom.means[Ms:]), want_pos,
+                               atol=1e-6)
