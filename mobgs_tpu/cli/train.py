@@ -36,6 +36,8 @@ def main(argv=None):
                    help="override latent exposure count (default 9)")
     p.add_argument("--start_checkpoint", type=str, default="",
                    help="resume from a full-state .npz checkpoint")
+    p.add_argument("--port", type=int, default=0,
+                   help="SIBR viewer bridge port (0 = disabled)")
     p.add_argument("--check_seed", action="store_true",
                    help="seed-sweep mode: truncate at 5000 iters and append "
                         "best PSNR to seed.txt (reference train.py:290,1008)")
@@ -172,6 +174,29 @@ def main(argv=None):
             dump_debug_images(ts_now, data, it, out_dir,
                               raster_cfg=raster_cfg)
 
+    viewer = viewer_render = None
+    if args.port:
+        from mobgs_tpu.data.cameras import Camera
+        from mobgs_tpu.models import render as R
+        from mobgs_tpu.viewer import ViewerServer
+        viewer = ViewerServer(port=args.port)
+
+        def viewer_render(ts_now, msg):
+            cam = Camera(w2c=jnp.asarray(msg["_w2c"]),
+                         K=jnp.asarray(data.K[0]),
+                         time=jnp.asarray(0.5, jnp.float32))
+            out = R.render_view(ts_now.stat, ts_now.dyn, ts_now.sandwich,
+                                cam, data.width, data.height, jnp.zeros(3),
+                                data.max_time, config=raster_cfg)
+            img = np.asarray(out.image)
+            tw, th = msg["resolution_x"], msg["resolution_y"]
+            if (th, tw) != img.shape[:2]:
+                from PIL import Image
+                img = np.asarray(Image.fromarray(
+                    (np.clip(img, 0, 1) * 255).astype(np.uint8)
+                ).resize((tw, th))) / 255.0
+            return img
+
     n_iters = min(cfg.opt.iterations, 5000) if args.check_seed \
         else cfg.opt.iterations
     ts, history = L.train(
@@ -179,7 +204,8 @@ def main(argv=None):
         raster_cfg=raster_cfg, scene_extent=extent, seed=args.seed,
         log_every=50, on_log=on_log,
         eval_every=args.test_iterations, on_eval=on_eval,
-        debug_every=300, on_debug=on_debug)
+        debug_every=300, on_debug=on_debug,
+        viewer=viewer, viewer_render=viewer_render)
     if args.check_seed:
         with open("seed.txt", "a") as f:
             f.write(f"seed {args.seed}: best_psnr {best['psnr']:.4f} "

@@ -70,7 +70,8 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
           scene_extent: float = 5.0, seed: int = 0,
           log_every: int = 50, on_log: Callable | None = None,
           eval_every: int = 0, on_eval: Callable | None = None,
-          debug_every: int = 0, on_debug: Callable | None = None):
+          debug_every: int = 0, on_debug: Callable | None = None,
+          viewer=None, viewer_render: Callable | None = None):
     """Run the fine-stage loop. Returns (ts, history list)."""
     V = data.w2c.shape[0]
     step_fn = make_train_step(opt_cfg, data.width, data.height,
@@ -91,6 +92,10 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
     t0 = _time.time()
 
     for it in range(1, iterations + 1):
+        # SIBR viewer poll (reference train.py:293-309)
+        if viewer is not None and viewer_render is not None:
+            viewer.poll(lambda msg: viewer_render(ts, msg))
+
         ids = sampler.next_ids()
         batch = make_batch(data, ids)
         ts, metrics = step_fn(ts, batch)
