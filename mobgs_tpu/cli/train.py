@@ -122,7 +122,9 @@ def main(argv=None):
         from mobgs_tpu.io.checkpoint import load_train_state
         ts = load_train_state(args.start_checkpoint, ts)
         print(f"resumed from {args.start_checkpoint} @ step {int(ts.step)}")
-    extent = L.scene_extent_of(np.asarray(s_pts))
+    extent = L.scene_extent_from_cameras(data.w2c)
+    if extent < 1e-6:  # degenerate (static camera rig)
+        extent = L.scene_extent_of(np.asarray(s_pts))
 
     out_dir = args.model_path or os.path.join("output", args.expname)
     os.makedirs(out_dir, exist_ok=True)

@@ -59,10 +59,19 @@ def make_batch(data: SceneData, ids: np.ndarray) -> Batch:
 
 
 def scene_extent_of(points: np.ndarray) -> float:
-    """Reference `getNerfppNorm`-style extent: 1.1 x max camera-centroid
-    distance — here approximated from the point cloud bounding sphere."""
+    """Point-cloud bounding-sphere extent (fallback when no cameras)."""
     c = points.mean(0)
     return float(1.1 * np.linalg.norm(points - c, axis=1).max())
+
+
+def scene_extent_from_cameras(w2cs: np.ndarray) -> float:
+    """Reference `getNerfppNorm` (dataset_readers.py:106-130): 1.1 x the
+    max distance of any camera centre from the average camera centre."""
+    c2ws = np.linalg.inv(w2cs)
+    centers = c2ws[:, :3, 3]
+    avg = centers.mean(0)
+    diag = np.linalg.norm(centers - avg, axis=1).max()
+    return float(diag * 1.1)
 
 
 def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
