@@ -78,6 +78,14 @@ def main(argv=None):
     print(f"TTO done: mean PSNR {float(np.mean(np.asarray(res.psnr))):.2f}; "
           f"renders in {out}")
 
+    # pose-accuracy report (utils_poses ATE/RPE, SplineGS-style)
+    from mobgs_tpu.eval.pose_metrics import evaluate_poses
+    gt_c2w = np.linalg.inv(np.asarray(data.test_w2c))
+    solved_c2w = np.linalg.inv(np.asarray(res.w2c))
+    pm = evaluate_poses(gt_c2w, solved_c2w, align="sim3")
+    print(f"pose ATE {pm['ate']:.4f}  RPE-t {pm['rpe_trans']:.4f}  "
+          f"RPE-r {pm['rpe_rot_deg']:.3f}°")
+
 
 if __name__ == "__main__":
     main()
