@@ -142,12 +142,18 @@ def main(argv=None):
                   f"({m['elapsed']:.0f}s)")
 
     def on_eval(ts_now, it):
+        from mobgs_tpu.eval.align import align_test_poses
         from mobgs_tpu.eval.tto import make_tto
+        # test poses re-expressed through the BLCE-refined train poses
+        # (reference train.py:746-764)
+        test_w2c = align_test_poses(
+            ts_now.blce, jnp.asarray(data.w2c), jnp.asarray(data.test_w2c),
+            jnp.asarray(data.blur_feats), num_warp=cfg.blce.num_warp)
         tto = make_tto(ts_now.stat, ts_now.dyn, ts_now.sandwich,
                        data.width, data.height, data.max_time,
                        steps=5, raster_cfg=raster_cfg)
         V = data.test_w2c.shape[0]
-        res = tto(jnp.asarray(data.test_w2c), jnp.asarray(data.K),
+        res = tto(test_w2c, jnp.asarray(data.K),
                   jnp.asarray(data.time), jnp.asarray(data.test_images),
                   jnp.ones(V))
         psnr = float(np.mean(np.asarray(res.psnr)))
