@@ -133,11 +133,14 @@ def densify_clone_split(state: G.GaussianState, stats: DensifyStats,
     opt_state = _zero_moments_at(opt_state, dest, ok)
     dropped = jnp.sum(clone_mask) - jnp.sum(ok)
 
-    # ---- split: big Gaussians → split_n children, parent pruned
+    # ---- split: big Gaussians → split_n children, parent pruned.
+    # A parent is only pruned if ALL its children were allocated —
+    # otherwise a full capacity pool would net-destroy Gaussians.
     split_mask = hi & (max_scale > percent_dense * scene_extent) & state.live
     scales = G.act_scaling(state)
     R = jax.vmap(lambda q: _quat_rot(q))(state.rotation)
     child_state = state
+    all_ok = split_mask
     for c in range(split_n):
         rng, sub = jax.random.split(rng)
         samples = jax.random.normal(sub, (state.capacity, 3)) * scales
@@ -148,9 +151,9 @@ def densify_clone_split(state: G.GaussianState, stats: DensifyStats,
             child_state, idx, dest, ok,
             overrides={"xyz": new_xyz[idx], "scaling": new_scaling[idx]})
         opt_state = _zero_moments_at(opt_state, dest, ok)
+        all_ok = all_ok & ok
         dropped = dropped + jnp.sum(split_mask) - jnp.sum(ok)
-    # prune parents of successful splits
-    child_state = child_state._replace(live=child_state.live & ~split_mask)
+    child_state = child_state._replace(live=child_state.live & ~all_ok)
 
     new_stats = init_stats(state.capacity)
     return child_state, opt_state, new_stats, dropped

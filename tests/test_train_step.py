@@ -118,3 +118,25 @@ def test_densify_clone_split_and_prune():
     st5, _ = D.reset_opacity(st2, opt2)
     o = np.asarray(G.act_opacity(st5))
     assert o[np.asarray(st5.live)].max() <= 0.0101
+
+
+def test_split_at_capacity_never_destroys():
+    # when the pool is (nearly) full, failed child allocations must not
+    # prune the parents (regression: net Gaussian destruction at cap)
+    rng = np.random.default_rng(1)
+    n, cap = 60, 64  # only 4 free slots
+    pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    state = G.create_state(pts, jnp.full((n, 3), 0.5), jnp.zeros(n), cap,
+                           rng=jax.random.PRNGKey(0))
+    sd, _ = G.split_diff(state)
+    opt_state = __import__("mobgs_tpu.train.optim", fromlist=["init_adam"]).init_adam(sd)
+    stats = D.DensifyStats(
+        xyz_grad_accum=jnp.ones((cap,)) * state.live,
+        denom=jnp.ones((cap,)) * state.live,
+        max_radii2d=jnp.zeros((cap,)))
+    st2, _, _, dropped = D.densify_clone_split(
+        state, stats, opt_state, jax.random.PRNGKey(1),
+        grad_threshold=0.5, percent_dense=0.01, scene_extent=1e-6,
+        split_n=2)  # all 60 want to split, only 4 slots
+    assert int(st2.num_live()) >= n  # never shrinks
+    assert int(dropped) > 0
