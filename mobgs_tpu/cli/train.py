@@ -213,7 +213,12 @@ def main(argv=None):
         log_every=50, on_log=on_log,
         eval_every=args.test_iterations, on_eval=on_eval,
         debug_every=300, on_debug=on_debug,
-        viewer=viewer, viewer_render=viewer_render)
+        viewer=viewer, viewer_render=viewer_render,
+        checkpoint_every=500,
+        on_checkpoint=lambda ts_now, it: __import__(
+            "mobgs_tpu.io.checkpoint", fromlist=["save_train_state"]
+        ).save_train_state(
+            os.path.join(out_dir, "train_state_latest.npz"), ts_now))
     if args.check_seed:
         with open("seed.txt", "a") as f:
             f.write(f"seed {args.seed}: best_psnr {best['psnr']:.4f} "

@@ -80,7 +80,8 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
           log_every: int = 50, on_log: Callable | None = None,
           eval_every: int = 0, on_eval: Callable | None = None,
           debug_every: int = 0, on_debug: Callable | None = None,
-          viewer=None, viewer_render: Callable | None = None):
+          viewer=None, viewer_render: Callable | None = None,
+          checkpoint_every: int = 0, on_checkpoint: Callable | None = None):
     """Run the fine-stage loop. Returns (ts, history list)."""
     V = data.w2c.shape[0]
     step_fn = make_train_step(opt_cfg, data.width, data.height,
@@ -169,4 +170,9 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
             on_eval(ts, it)
         if debug_every and on_debug and (it == 1 or it % debug_every == 0):
             on_debug(ts, it)
+        # periodic full-state checkpoint: the remote TPU tunnel can drop
+        # an RPC and hang a blocking transfer forever (observed ~1/2000
+        # iterations); bounded work is lost on restart + --start_checkpoint
+        if checkpoint_every and on_checkpoint and it % checkpoint_every == 0:
+            on_checkpoint(ts, it)
     return ts, history
