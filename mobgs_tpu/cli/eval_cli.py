@@ -18,7 +18,15 @@ def main(argv=None):
     p.add_argument("-m", "--model_path", type=str, required=True)
     p.add_argument("-s", "--source_path", type=str, default="")
     p.add_argument("--iteration", type=str, default="best")
-    p.add_argument("--tto_steps", type=int, default=25)
+    # shipped reference protocol (eval.py:258-263): 100 steps, decay 30,
+    # lr 3e-4 -> 1e-6, no previous-camera init
+    p.add_argument("--tto_steps", type=int, default=100)
+    p.add_argument("--tto_decay_start", type=int, default=30)
+    p.add_argument("--tto_lr", type=float, default=3e-4)
+    p.add_argument("--tto_lr_final", type=float, default=1e-6)
+    p.add_argument("--fast", action="store_true",
+                   help="cheap TTO (25 steps, lr 3e-3; the reference "
+                        "function-default setting, not the shipped one)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--synthetic_size", type=str, default="128x72x12")
     args = p.parse_args(argv)
@@ -57,11 +65,18 @@ def main(argv=None):
                                     test_w2c, jnp.asarray(data.blur_feats))
         print("aligned test poses through BLCE mid-exposure cameras")
 
+    if args.fast:
+        steps, decay, lr, lr_final = 25, 15, 3e-3, 1e-4
+    else:
+        steps, decay = args.tto_steps, args.tto_decay_start
+        lr, lr_final = args.tto_lr, args.tto_lr_final
     tto = make_tto(stat, dyn, sandwich, data.width, data.height,
-                   data.max_time, steps=args.tto_steps)
+                   data.max_time, steps=steps, decay_start=decay,
+                   lr_q=lr, lr_p=lr, lr_final=lr_final)
     V = data.test_w2c.shape[0]
-    lr_scale = np.full(V, 0.1, np.float32)
-    lr_scale[0] = 1.0  # reference boosts only the first camera
+    # shipped call: initialize_from_previous_camera=False => every
+    # camera optimizes with lr factor 1.0 (eval.py:62-68,269-271)
+    lr_scale = np.ones(V, np.float32)
     res = tto(test_w2c, jnp.asarray(data.K),
               jnp.asarray(data.time), jnp.asarray(data.test_images),
               jnp.asarray(lr_scale))

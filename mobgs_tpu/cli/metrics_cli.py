@@ -44,9 +44,18 @@ def main(argv=None):
     if not preds:
         raise SystemExit(f"no aligned (pred, gt) pairs under {pred_dir}")
 
-    from mobgs_tpu.eval.lpips import load_lpips
+    from mobgs_tpu.eval.lpips import (find_default_backbone,
+                                      find_default_lpips_weights, load_lpips)
     from mobgs_tpu.eval.metrics import evaluate_sequence
-    lp = load_lpips(args.lpips_weights or None, args.alexnet_weights or None)
+    lin = args.lpips_weights or find_default_lpips_weights(args.model_path)
+    backbone = args.alexnet_weights or find_default_backbone(args.model_path)
+    if lin:
+        print(f"# LPIPS lin weights: {lin}")
+    if not backbone:
+        print("# LPIPS backbone: fixed-seed random (no torchvision "
+              "alexnet weights found; set MOBGS_ALEXNET_WEIGHTS for "
+              "published-comparable LPIPS)")
+    lp = load_lpips(lin, backbone)
     out = evaluate_sequence(np.stack(preds), np.stack(gts), lpips_params=lp,
                             compute_tof=not args.no_tof)
     print(f"PSNR: {out['psnr']:.4f}")

@@ -115,13 +115,117 @@ def qvec_to_rotmat(q: np.ndarray) -> np.ndarray:
         [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
 
 
+def read_cameras_text(path: str) -> dict[int, ColmapCamera]:
+    out = {}
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            el = line.split()
+            cid, model, w, h = int(el[0]), el[1], int(el[2]), int(el[3])
+            out[cid] = ColmapCamera(cid, model, w, h,
+                                    np.asarray([float(x) for x in el[4:]]))
+    return out
+
+
+def read_images_text(path: str) -> dict[int, ColmapImage]:
+    out = {}
+    with open(path) as f:
+        lines = [ln for ln in f if not ln.startswith("#") and ln.strip()]
+    for ln in lines[::2]:  # every other line is the 2D point list
+        el = ln.split()
+        out[int(el[0])] = ColmapImage(
+            int(el[0]), np.asarray([float(x) for x in el[1:5]]),
+            np.asarray([float(x) for x in el[5:8]]), int(el[8]), el[9])
+    return out
+
+
 def load_colmap_model(sparse_dir: str):
-    """Load a COLMAP sparse model dir; returns (cameras, images, points)."""
-    cams = read_cameras_binary(os.path.join(sparse_dir, "cameras.bin"))
-    imgs = read_images_binary(os.path.join(sparse_dir, "images.bin"))
+    """Load a COLMAP sparse model dir; returns (cameras, images, points).
+    Binary model preferred, text fallback (reference
+    `readColmapSceneInfo`, dataset_readers.py:262-271)."""
+    cb = os.path.join(sparse_dir, "cameras.bin")
+    if os.path.exists(cb):
+        cams = read_cameras_binary(cb)
+        imgs = read_images_binary(os.path.join(sparse_dir, "images.bin"))
+    else:
+        cams = read_cameras_text(os.path.join(sparse_dir, "cameras.txt"))
+        imgs = read_images_text(os.path.join(sparse_dir, "images.txt"))
     p3d = os.path.join(sparse_dir, "points3D.bin")
     if os.path.exists(p3d):
         pts = read_points3d_binary(p3d)
     else:
         pts = read_points3d_text(os.path.join(sparse_dir, "points3D.txt"))
     return cams, imgs, pts
+
+
+def _intrinsics(cam: ColmapCamera) -> np.ndarray:
+    p = cam.params
+    if cam.model == "SIMPLE_PINHOLE" or cam.model.startswith("SIMPLE_RADIAL"):
+        fx = fy = p[0]
+        cx, cy = p[1], p[2]
+    else:  # PINHOLE / OPENCV families: fx fy cx cy ...
+        fx, fy, cx, cy = p[0], p[1], p[2], p[3]
+    return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float32)
+
+
+def load_colmap_scene(path: str, images: str | None = None,
+                      eval_split: bool = True, llffhold: int = 8):
+    """COLMAP static scene → SceneData (the `sceneLoadTypeCallbacks
+    ["Colmap"]` branch, reference dataset_readers.py:261-310): sorted by
+    image name; with ``eval_split`` every ``llffhold``-th camera is held
+    out for test; points3D seeds the Gaussian cloud."""
+    from PIL import Image
+
+    from mobgs_tpu.data.synthetic import SceneData
+
+    sparse = os.path.join(path, "sparse", "0")
+    if not os.path.isdir(sparse):
+        sparse = os.path.join(path, "sparse")
+    cams, imgs, (xyz, rgb, _) = load_colmap_model(sparse)
+    img_dir = os.path.join(path, images if images else "images")
+
+    entries = sorted(imgs.values(), key=lambda im: im.name)
+    w2cs, Ks, frames = [], [], []
+    for im in entries:
+        w2c = np.eye(4, dtype=np.float32)
+        w2c[:3, :3] = qvec_to_rotmat(im.qvec)
+        w2c[:3, 3] = im.tvec
+        cam = cams[im.camera_id]
+        K = _intrinsics(cam)
+        fp = os.path.join(img_dir, im.name)
+        frame = np.asarray(Image.open(fp)).astype(np.float32)[..., :3] / 255.0
+        H, W = frame.shape[:2]
+        # rescale intrinsics if the images dir holds downscaled copies
+        if (W, H) != (cam.width, cam.height):
+            K = K.copy()
+            K[0] *= W / cam.width
+            K[1] *= H / cam.height
+        w2cs.append(w2c)
+        Ks.append(K)
+        frames.append(frame)
+
+    w2cs = np.stack(w2cs)
+    Ks = np.stack(Ks)
+    frames = np.stack(frames)
+    V, H, W = frames.shape[:3]
+    if eval_split and V > llffhold:
+        test = np.arange(V) % llffhold == 0
+    else:
+        test = np.zeros(V, bool)
+    tr = ~test
+
+    import jax
+    import jax.numpy as jnp
+    from mobgs_tpu.models.blce import blur_feature
+    bf = np.asarray([float(jax.jit(blur_feature)(jnp.asarray(f)))
+                     for f in frames[tr]], np.float32)
+
+    return SceneData(
+        w2c=w2cs[tr], K=Ks[tr], time=np.zeros(int(tr.sum()), np.float32),
+        images=frames[tr], depths=np.ones((int(tr.sum()), H, W), np.float32),
+        blur_feats=bf, masks=np.zeros((int(tr.sum()), H, W), np.float32),
+        width=W, height=H, max_time=1.0,
+        test_w2c=w2cs[test] if test.any() else w2cs[tr],
+        test_images=frames[test] if test.any() else frames[tr],
+        points_xyz=xyz, points_rgb=rgb)

@@ -88,12 +88,18 @@ def _load_dynerf(path, **kw):
     return load_dynerf_scene(path, **kw)
 
 
+def _load_colmap(path, **kw):
+    from mobgs_tpu.data.colmap import load_colmap_scene
+    return load_colmap_scene(path, **kw)
+
+
 SCENE_LOAD_CALLBACKS: dict[str, Callable] = {
     "nvidia": lambda p, **kw: load_stereo_scene(p).data,
     "stereo": lambda p, **kw: load_stereo_scene(p).data,
     "blender": load_blender_scene,
     "dycheck": _load_iphone,
     "dynerf": _load_dynerf,
+    "colmap": _load_colmap,
 }
 
 

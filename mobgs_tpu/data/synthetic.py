@@ -39,6 +39,10 @@ class SceneData(NamedTuple):
     # test split (sharp)
     test_w2c: np.ndarray
     test_images: np.ndarray
+    # optional SfM seed cloud (COLMAP points3D), None when the loader
+    # seeds via the warm stage instead (stereo path)
+    points_xyz: np.ndarray | None = None
+    points_rgb: np.ndarray | None = None
 
 
 def _orbit_w2c(t: float, radius: float = 8.0, wobble: float = 0.25):

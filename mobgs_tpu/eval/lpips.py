@@ -50,6 +50,52 @@ def _random_backbone(seed: int = 0):
     return ws, bs
 
 
+def find_default_lpips_weights(near: str | None = None) -> str | None:
+    """Locate LPIPS v0.1 lin weights (``alex.pth``) without flags.
+
+    Search order: (1) $MOBGS_LPIPS_WEIGHTS, (2) next to the checkpoint
+    / results dir being evaluated, (3) the reference repo's bundled
+    copy. Mirrors the reference behavior of always loading its vendored
+    `models/weights/v0.1/alex.pth` (`models/dist_model.py:61-65`).
+    """
+    import os
+    cands = []
+    env = os.environ.get("MOBGS_LPIPS_WEIGHTS")
+    if env:
+        cands.append(env)
+    if near:
+        cands.append(os.path.join(near, "alex.pth"))
+        cands.append(os.path.join(near, "weights", "v0.1", "alex.pth"))
+    cands.append("/root/reference/models/weights/v0.1/alex.pth")
+    for c in cands:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
+def find_default_backbone(near: str | None = None) -> str | None:
+    """Locate a torchvision alexnet state_dict for the LPIPS backbone.
+
+    Published-comparable LPIPS needs torchvision's ImageNet alexnet
+    weights; in a zero-egress image they are usually absent and the
+    metric falls back to a fixed-seed random backbone (labelled
+    ``lpips_randfeat`` by callers)."""
+    import glob
+    import os
+    cands = []
+    env = os.environ.get("MOBGS_ALEXNET_WEIGHTS")
+    if env:
+        cands.append(env)
+    if near:
+        cands.append(os.path.join(near, "alexnet.pth"))
+    hub = os.path.expanduser("~/.cache/torch/hub/checkpoints")
+    cands.extend(sorted(glob.glob(os.path.join(hub, "alexnet*.pth"))))
+    for c in cands:
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
 def load_lpips(lin_path: str | None = None,
                backbone_path: str | None = None) -> LPIPSParams:
     if lin_path is not None:

@@ -36,11 +36,17 @@ class TTOResult(NamedTuple):
 def make_tto(stat: G.GaussianState, dyn: G.GaussianState,
              sandwich: SandwichParams, width: int, height: int,
              max_time: float = 1.0,
-             steps: int = 25, decay_start: int = 15,
-             lr_q: float = 0.003, lr_p: float = 0.003,
-             lr_final: float = 1e-4,
+             steps: int = 100, decay_start: int = 30,
+             lr_q: float = 3e-4, lr_p: float = 3e-4,
+             lr_final: float = 1e-6,
              raster_cfg: RasterConfig = RasterConfig()):
-    """Build the jitted TTO function over a batch of test cameras."""
+    """Build the jitted TTO function over a batch of test cameras.
+
+    Defaults match the SHIPPED reference call (`eval.py:258-263`:
+    tto_steps=100, decay_start=30, lr_p=lr_q=3e-4, lr_final=1e-6,
+    initialize_from_previous_camera=False ⇒ per-camera lr factor 1.0),
+    not the function-signature defaults at `eval.py:51-57`.
+    """
     bg3 = jnp.zeros(3, jnp.float32)
     t_max = max(steps - decay_start, 1)
 

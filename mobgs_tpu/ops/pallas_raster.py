@@ -320,7 +320,10 @@ def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
     full = full[:height, :width]
     image = full[..., :C]
     depth_acc = full[..., C]
-    alpha = full[..., C + 1]
+    # The MXU accumulates the weight column at TPU default (bf16-input)
+    # precision, so Σw can overshoot 1 by ~1e-3; gsplat's alpha is ≤ 1
+    # by construction, clamp to match.
+    alpha = jnp.minimum(full[..., C + 1], 1.0)
     if background is not None:
         image = image + background[None, None, :] * (1.0 - alpha[..., None])
     exp_depth = depth_acc / jnp.maximum(alpha, 1e-10)

@@ -25,7 +25,19 @@ def make_mesh(n_data: int = 1, n_gauss: int | None = None,
     devices = devices if devices is not None else jax.devices()
     if n_gauss is None:
         n_gauss = len(devices) // n_data
-    dev = np.asarray(devices[: n_data * n_gauss]).reshape(n_data, n_gauss)
+    need = n_data * n_gauss
+    if n_data < 1 or n_gauss < 1:
+        raise ValueError(f"mesh axes must be positive, got "
+                         f"data={n_data} gauss={n_gauss}")
+    if len(devices) < need:
+        raise ValueError(
+            f"make_mesh needs {need} devices for a data={n_data} x "
+            f"gauss={n_gauss} mesh but only {len(devices)} are available "
+            f"({[d.platform for d in devices]}). For a virtual CPU mesh "
+            f"set JAX_PLATFORMS=cpu and XLA_FLAGS="
+            f"--xla_force_host_platform_device_count={need} before jax "
+            f"initializes (see run_tests.sh).")
+    dev = np.asarray(devices[:need]).reshape(n_data, n_gauss)
     return Mesh(dev, ("data", "gauss"))
 
 
@@ -43,17 +55,35 @@ def data_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("data"))
 
 
+# TrainState fields whose subtree holds per-Gaussian (capacity-axis)
+# arrays. Sharding is decided by FIELD NAME, not by shape coincidence:
+# a BLCE [V, ...] leaf with V == capacity must stay replicated.
+GAUSS_FIELDS = ("stat", "dyn", "stat_opt", "dyn_opt",
+                "stat_stats", "dyn_stats")
+
+
 def shard_train_state_specs(ts, mesh: Mesh):
-    """Sharding tree for a TrainState: per-Gaussian leaves on ``gauss``,
-    everything else replicated."""
-    caps = {ts.stat.capacity, ts.dyn.capacity}
+    """Sharding tree for a TrainState: leaves of the per-Gaussian
+    subtrees (GaussianState / its Adam moments / densify stats) shard
+    their leading capacity axis on ``gauss``; everything else —
+    Sandwich/BLCE params, their optimizers, the step counter — is
+    replicated."""
+    gauss = gauss_sharding(mesh)
+    rep = replicated(mesh)
 
-    def spec(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] in caps:
-            return gauss_sharding(mesh)
-        return replicated(mesh)
+    def gauss_leaf(x):
+        # rank-0 leaves inside a gauss subtree (e.g. AdamState.step)
+        # have no capacity axis to shard
+        return gauss if getattr(x, "ndim", 0) >= 1 else rep
 
-    return jax.tree.map(spec, ts)
+    parts = {}
+    for f in ts._fields:
+        sub = getattr(ts, f)
+        if f in GAUSS_FIELDS:
+            parts[f] = jax.tree.map(gauss_leaf, sub)
+        else:
+            parts[f] = jax.tree.map(lambda _: rep, sub)
+    return type(ts)(**parts)
 
 
 def shard_batch_specs(batch, mesh: Mesh):

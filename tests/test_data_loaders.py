@@ -162,3 +162,56 @@ def test_dynerf_loader(tmp_path):
     assert data.test_images.shape == (T, H, W, 3)
     assert data.K[0, 0, 0] == 50.0  # focal / downscale
     assert np.isfinite(data.w2c).all()
+
+
+def test_colmap_scene_loader(tmp_path):
+    """load_scene on a COLMAP dir returns a trainable SceneData
+    (registry branch, reference dataset_readers.py:261-310,2089)."""
+    import struct
+    from PIL import Image
+    from mobgs_tpu.data.scene import load_scene
+
+    root = tmp_path / "colmap_scene"
+    sparse = root / "sparse" / "0"
+    sparse.mkdir(parents=True)
+    (root / "images").mkdir()
+
+    W, H = 40, 30
+    with open(sparse / "cameras.bin", "wb") as f:
+        f.write(struct.pack("<Q", 1))
+        f.write(struct.pack("<iiQQ", 1, 1, W, H))
+        f.write(struct.pack("<dddd", 35.0, 36.0, W / 2, H / 2))
+
+    n_views = 10
+    rng = np.random.default_rng(0)
+    with open(sparse / "images.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_views))
+        for i in range(n_views):
+            f.write(struct.pack("<i", i + 1))
+            f.write(struct.pack("<dddd", 1.0, 0, 0, 0))
+            f.write(struct.pack("<ddd", 0.1 * i, 0, 2.0))
+            f.write(struct.pack("<i", 1))
+            f.write(f"im_{i:03d}.png\x00".encode())
+            f.write(struct.pack("<Q", 0))
+            Image.fromarray(
+                rng.integers(0, 255, (H, W, 3), dtype=np.uint8).astype(
+                    np.uint8)).save(root / "images" / f"im_{i:03d}.png")
+
+    n_pts = 5
+    with open(sparse / "points3D.bin", "wb") as f:
+        f.write(struct.pack("<Q", n_pts))
+        for i in range(n_pts):
+            f.write(struct.pack("<Q", i))
+            f.write(struct.pack("<ddd", i * 0.1, 0.2, 3.0))
+            f.write(struct.pack("<BBB", 10, 20, 30))
+            f.write(struct.pack("<d", 0.5))
+            f.write(struct.pack("<Q", 0))
+
+    data = load_scene(str(root))  # sniffed as "colmap" via sparse/
+    # llffhold=8 split: views 0 and 8 held out
+    assert data.images.shape == (8, H, W, 3)
+    assert data.test_images.shape == (2, H, W, 3)
+    assert data.points_xyz.shape == (n_pts, 3)
+    assert data.points_rgb.shape == (n_pts, 3)
+    assert data.K[0, 0, 0] == 35.0 and data.K[0, 1, 1] == 36.0
+    assert np.isfinite(data.blur_feats).all()
