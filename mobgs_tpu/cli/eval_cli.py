@@ -45,6 +45,18 @@ def main(argv=None):
 
     ck = os.path.join(args.model_path, "point_cloud",
                       f"iteration_{args.iteration}")
+    if not os.path.isdir(ck):
+        # no best-PSNR checkpoint (e.g. trained with test eval off) —
+        # fall back to the latest numbered iteration
+        from mobgs_tpu.data.scene import find_latest_iteration
+        latest = find_latest_iteration(args.model_path)
+        if latest is None:
+            raise FileNotFoundError(f"no checkpoints under "
+                                    f"{args.model_path}/point_cloud")
+        print(f"iteration_{args.iteration} not found; using "
+              f"iteration_{latest}")
+        ck = os.path.join(args.model_path, "point_cloud",
+                          f"iteration_{latest}")
     dyn = load_gaussians(os.path.join(ck, "point_cloud.ply"))
     stat = load_gaussians(os.path.join(ck, "point_cloud_static.ply"))
     sandwich = load_sandwich_pt(os.path.join(ck, "point_cloud.pt"))
@@ -52,15 +64,19 @@ def main(argv=None):
     # align test poses through the BLCE-refined train poses
     # (reference train.py:746-764) when a BLCE checkpoint is present
     test_w2c = jnp.asarray(data.test_w2c)
-    blce_path = os.path.join(ck, "blce.npz")
-    if os.path.exists(blce_path):
-        from mobgs_tpu.eval.align import align_test_poses
+    blce_state = None
+    if os.path.exists(os.path.join(ck, "blce.pth")):
+        from mobgs_tpu.io.torch_ckpt import load_blce_pth
+        blce_state = load_blce_pth(os.path.join(ck, "blce.pth"))
+    elif os.path.exists(os.path.join(ck, "blce.npz")):  # legacy format
         from mobgs_tpu.models.blce import BLCEParams, BLCEState
-        z = np.load(blce_path)
+        z = np.load(os.path.join(ck, "blce.npz"))
         params = BLCEParams(**{f: jnp.asarray(z[f])
                                for f in BLCEParams._fields})
         blce_state = BLCEState(params=params,
                                exposure_expo=jnp.asarray(z["exposure_expo"]))
+    if blce_state is not None:
+        from mobgs_tpu.eval.align import align_test_poses
         test_w2c = align_test_poses(blce_state, jnp.asarray(data.w2c),
                                     test_w2c, jnp.asarray(data.blur_feats))
         print("aligned test poses through BLCE mid-exposure cameras")

@@ -117,7 +117,15 @@ def main(argv=None):
                              num_views=data.w2c.shape[0],
                              view_dim=cfg.blce.view_dim,
                              num_warp=cfg.blce.num_warp)
-    ts = init_train_state(stat, dyn, sandwich, blce_state)
+    # deformation net carried for checkpoint parity (reference
+    # train.py:842-844: instantiated, AABB set from the static cloud,
+    # saved as deformation.pth; the fine stage never renders through it)
+    from mobgs_tpu.models import hexplane as HP
+    from mobgs_tpu.models.deformation import init_deformation
+    deform = init_deformation(jax.random.PRNGKey(args.seed + 3), cfg.hidden)
+    deform = deform._replace(grid=HP.set_aabb(
+        deform.grid, np.asarray(s_pts).max(0), np.asarray(s_pts).min(0)))
+    ts = init_train_state(stat, dyn, sandwich, blce_state, deform=deform)
     if args.start_checkpoint:
         from mobgs_tpu.io.checkpoint import load_train_state
         ts = load_train_state(args.start_checkpoint, ts)
@@ -169,10 +177,17 @@ def main(argv=None):
         save_gaussians(os.path.join(d, "point_cloud.ply"), ts_now.dyn,
                        ts_now.sandwich)
         save_gaussians(os.path.join(d, "point_cloud_static.ply"), ts_now.stat)
-        blce_np = jax.tree.map(np.asarray, ts_now.blce.params)._asdict()
-        np.savez(os.path.join(d, "blce.npz"),
-                 exposure_expo=np.asarray(ts_now.blce.exposure_expo),
-                 **{k: v for k, v in blce_np.items()})
+        # full reference artifact set (scene/__init__.py:116-138):
+        # torch-format deformation.pth/+table/accum and blce.pth so the
+        # upstream eval.py can load this checkpoint dir
+        try:
+            from mobgs_tpu.io import torch_ckpt as TC
+            TC.save_blce_pth(d, ts_now.blce)
+            if ts_now.deform is not None:
+                TC.save_deformation_pth(d, ts_now.deform, cfg.hidden,
+                                        int(ts_now.dyn.num_live()))
+        except ImportError:
+            pass  # torch not in the environment; PLYs remain complete
         from mobgs_tpu.io.checkpoint import save_train_state
         save_train_state(os.path.join(d, "train_state.npz"), ts_now)
 
@@ -181,6 +196,17 @@ def main(argv=None):
             from mobgs_tpu.train.debug_vis import dump_debug_images
             dump_debug_images(ts_now, data, it, out_dir,
                               raster_cfg=raster_cfg)
+        # render_process per-view panels (scene_utils.py:14-269, default
+        # ON for stereo configs): latent sharp frames + flow color maps
+        # for the first train view, at the debug cadence
+        if cfg.model.render_process:
+            from mobgs_tpu.train.debug_vis import render_training_panels
+            render_training_panels(
+                ts_now, data, it, out_dir,
+                view=int(it // 300 % data.w2c.shape[0]),
+                num_warp=cfg.blce.num_warp,
+                with_latents=it > cfg.blce.start_warp,
+                raster_cfg=raster_cfg)
 
     viewer = viewer_render = None
     if args.port:

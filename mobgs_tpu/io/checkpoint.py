@@ -41,14 +41,23 @@ def load_train_state(path: str, template):
     data = np.load(path)
     flat, treedef = _flatten_with_paths(template)
     leaves = []
+    missing = []
     for key, tmpl in flat.items():
         if key not in data:
-            raise KeyError(f"checkpoint missing leaf {key}")
+            # forward compat: leaves added after the checkpoint was
+            # written (e.g. the carried deformation net) keep their
+            # template (freshly initialized) values
+            missing.append(key)
+            leaves.append(jnp.asarray(tmpl))
+            continue
         arr = data[key]
         if arr.shape != tmpl.shape:
             raise ValueError(
                 f"shape mismatch for {key}: ckpt {arr.shape} vs "
                 f"template {tmpl.shape}")
         leaves.append(jnp.asarray(arr.astype(tmpl.dtype, copy=False)))
+    if missing:
+        print(f"checkpoint {path}: {len(missing)} leaves not in file, "
+              f"kept template values (first: {missing[0]})")
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(template), leaves)

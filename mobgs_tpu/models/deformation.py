@@ -55,24 +55,31 @@ class DeformationParams(NamedTuple):
     pos_deform: MLPParams      # W -> W -> 7 (dx3 + quat4)
     scales_deform: MLPParams   # W -> W -> 3
     rotations_deform: MLPParams  # W -> W -> 4
+    # time embedding MLP of the reference wrapper (deformation.py:241-243);
+    # present in `deformation.pth` and the reference Adam groups even
+    # though the MoBGS forward path never calls it
+    timenet: MLPParams         # 2*timebase_pe+1 -> timenet_width -> out
 
 
 def init_deformation(rng: jax.Array, hidden_cfg) -> DeformationParams:
     """hidden_cfg: ModelHiddenParams-like (bounds, kplanes_config,
     multires, net_width, defor_depth)."""
-    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    k1, k2, k3, k4, k5, k6 = jax.random.split(rng, 6)
     grid = HP.init_hexplane(k1, hidden_cfg.bounds, hidden_cfg.kplanes_config,
                             list(hidden_cfg.multires))
     W = hidden_cfg.net_width
     D = hidden_cfg.defor_depth
     fdim = HP.feat_dim(grid)
     feature_dims = [fdim] + [W] * D
+    times_ch = 2 * hidden_cfg.timebase_pe + 1
     return DeformationParams(
         grid=grid,
         feature_out=_init_mlp(k2, feature_dims),
         pos_deform=_init_mlp(k3, [W, W, 7]),
         scales_deform=_init_mlp(k4, [W, W, 3]),
         rotations_deform=_init_mlp(k5, [W, W, 4]),
+        timenet=_init_mlp(k6, [times_ch, hidden_cfg.timenet_width,
+                               hidden_cfg.timenet_output]),
     )
 
 

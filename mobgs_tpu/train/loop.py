@@ -110,20 +110,20 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
         batch = make_batch(data, ids)
         ts, metrics = step_fn(ts, batch)
 
-        # exposure re-estimation every 10 iters, for every batch view
-        # (reference runs it inside the camera loop, train.py:474-492)
+        # exposure re-estimation every 10 iters, for every batch view in
+        # ONE vmapped dispatch (reference runs it inside the camera
+        # loop, train.py:474-492)
         if it > blce_cfg.start_warp_exposure and it % 10 == 0:
-            for vid in map(int, ids):
-                fwd = min(vid + 1, V - 1)
-                bwd = max(vid - 1, 0)
-                ts = expo_fn(ts, jnp.int32(vid),
-                             jnp.asarray(data.w2c[vid]),
-                             jnp.asarray(data.K[vid]),
-                             jnp.asarray(data.time[vid]),
-                             jnp.asarray(data.blur_feats[vid]),
-                             jnp.asarray(data.w2c[fwd]),
-                             jnp.asarray(data.w2c[bwd]),
-                             jnp.asarray(vid == 0 or vid == V - 1))
+            fwd = np.minimum(ids + 1, V - 1)
+            bwd = np.maximum(ids - 1, 0)
+            ts = expo_fn(ts, jnp.asarray(ids, jnp.int32),
+                         jnp.asarray(data.w2c[ids]),
+                         jnp.asarray(data.K[ids]),
+                         jnp.asarray(data.time[ids]),
+                         jnp.asarray(data.blur_feats[ids]),
+                         jnp.asarray(data.w2c[fwd]),
+                         jnp.asarray(data.w2c[bwd]),
+                         jnp.asarray((ids == 0) | (ids == V - 1)))
 
         # densification (helper_train.py:222-258, mode 2)
         if it < opt_cfg.densify_until_iter:

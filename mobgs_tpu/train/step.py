@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from mobgs_tpu.core import se3
 from mobgs_tpu.core.image import psnr
-from mobgs_tpu.data.cameras import Camera
+from mobgs_tpu.data.cameras import Camera, pixel_grid
 from mobgs_tpu.models import blce as B
 from mobgs_tpu.models import gaussians as G
 from mobgs_tpu.models import render as R
@@ -48,6 +48,12 @@ class TrainState(NamedTuple):
     stat_stats: densify.DensifyStats
     dyn_stats: densify.DensifyStats
     step: jnp.ndarray  # scalar int32 iteration counter
+    # Carried hexplane+MLP deformation net (reference gaussian_model.py:118
+    # instantiates it and :602-605 registers it in Adam, but the fine
+    # stage never renders through it so its torch grads stay None and
+    # torch Adam skips it — i.e. it never updates; we carry it verbatim
+    # so `deformation.pth` checkpoints have real content).
+    deform: object | None = None
 
 
 class Batch(NamedTuple):
@@ -70,7 +76,8 @@ class Metrics(NamedTuple):
     psnr: jnp.ndarray
 
 
-def init_train_state(stat, dyn, sandwich, blce_state) -> TrainState:
+def init_train_state(stat, dyn, sandwich, blce_state,
+                     deform=None) -> TrainState:
     sd, _ = G.split_diff(stat)
     dd, _ = G.split_diff(dyn)
     return TrainState(
@@ -80,15 +87,16 @@ def init_train_state(stat, dyn, sandwich, blce_state) -> TrainState:
         blce_opt=init_adam(blce_state.params),
         stat_stats=densify.init_stats(stat.capacity),
         dyn_stats=densify.init_stats(dyn.capacity),
-        step=jnp.zeros((), jnp.int32))
+        step=jnp.zeros((), jnp.int32), deform=deform)
 
 
-def make_train_step(opt_cfg, width: int, height: int,
-                    max_time: float, num_warp: int = 9,
-                    raster_cfg: RasterConfig = RasterConfig(),
-                    spatial_lr_scale: float = 5.0,
-                    use_blce: bool = True):
-    """Build the jitted per-iteration update."""
+def make_forward(opt_cfg, width: int, height: int,
+                 max_time: float, num_warp: int = 9,
+                 raster_cfg: RasterConfig = RasterConfig(),
+                 use_blce: bool = True):
+    """Build the (un-jitted) forward loss over a camera batch — the
+    differentiated core of the train step, also used standalone by the
+    stage profiler (scripts/profile_step.py)."""
     E = num_warp
     half = E // 2
     bg3 = jnp.zeros(3, jnp.float32)
@@ -116,6 +124,25 @@ def make_train_step(opt_cfg, width: int, height: int,
                 lat_w2c = jnp.broadcast_to(w2c, (E, 4, 4))
                 expo = jnp.zeros((E,))
 
+            # ---- flow displacement colors (computed BEFORE the mid
+            # render so the mid→exp maps for ALL exposures ride the mid
+            # pass as extra channels — the reference's 9 separate
+            # mid-time get_flow rasterizations, renderer :379-491,
+            # collapse into zero extra geometry evaluations; XLA CSEs
+            # the duplicate mid projection)
+            if compute_flow:
+                ratios = (jnp.arange(E) - half) / half  # exposure_max_delta=1
+                Ntot = stat.capacity + dyn.capacity
+                mid2d = R.project_combined(stat, dyn, cam, width, height,
+                                           max_time, None, raster_cfg)
+                exp2d = jax.vmap(lambda d: R.project_combined(
+                    stat, dyn, cam, width, height, max_time, d,
+                    raster_cfg))(ratios)
+                flow2d = jax.lax.stop_gradient(mid2d[None] - exp2d)  # [E,N,2]
+                mid_extra = (-flow2d).transpose(1, 0, 2).reshape(Ntot, 2 * E)
+            else:
+                mid_extra = None
+
             # ---- mid render at the ORIGINAL camera (train.py:441-469).
             # The reference also renders a static-only pass here, but its
             # outputs feed only the /300-iteration debug dumps
@@ -124,7 +151,7 @@ def make_train_step(opt_cfg, width: int, height: int,
             mid = R.render_view(stat, dyn, sandwich, cam, width, height,
                                 bg3, max_time, None, get_static=False,
                                 get_dynamic=True, means2d_offset=offset,
-                                config=raster_cfg)
+                                extra_colors=mid_extra, config=raster_cfg)
 
             # ---- the other E-1 latent sharp renders (train.py:502-541)
             other = [i for i in range(E) if i != half]
@@ -140,19 +167,37 @@ def make_train_step(opt_cfg, width: int, height: int,
             lat_imgs = jax.vmap(latent_render)(lat_w2c[lat_idx], expo[lat_idx])
             pred_image = (jnp.sum(lat_imgs, axis=0) + mid.image) / E + 1e-10
 
-            # ---- exposure flow consistency (train.py:564-584)
+            # ---- exposure flow consistency (train.py:564-584). The
+            # exposure-time passes double as the latent image/alpha
+            # sources; the mid exposure (delta=0) reuses the mid render
+            # outright, so flow costs E-1 extra geometry evaluations
+            # instead of the reference's 3 per exposure.
             if compute_flow:
-                ratios = (jnp.arange(E) - half) / half  # exposure_max_delta=1
+                pix = pixel_grid(width, height, use_center=False)
+                m2e = mid.flow.reshape(height, width, E, 2)
+                m2e = m2e.transpose(2, 0, 1, 3)               # [E, H, W, 2]
+                mid2exp_coords = pix[None] + m2e
 
-                def flow_render(d_expo):
-                    return R.get_flow(stat, dyn, sandwich, cam, width,
-                                      height, bg3, d_expo, max_time,
-                                      config=raster_cfg)
+                def flow_exp(d_expo, fl):
+                    out = R.render_view(stat, dyn, sandwich, cam, width,
+                                        height, bg3, max_time, d_expo,
+                                        get_dynamic=True, extra_colors=fl,
+                                        config=raster_cfg)
+                    return out.image, out.d_alpha, out.flow
 
-                e2m, m2e, lat_f_imgs, lat_alphas = jax.vmap(flow_render)(ratios)
+                f_imgs, f_alphas, e2m_o = jax.vmap(flow_exp)(
+                    ratios[lat_idx], flow2d[lat_idx])
+                lat_f_imgs = (jnp.zeros((E,) + mid.image.shape)
+                              .at[lat_idx].set(f_imgs)
+                              .at[half].set(mid.image))
+                lat_alphas = (jnp.zeros((E,) + mid.d_alpha.shape)
+                              .at[lat_idx].set(f_alphas)
+                              .at[half].set(mid.d_alpha))
+                e2m = jnp.zeros((E, height, width, 2)).at[lat_idx].set(e2m_o)
+                exp2mid_coords = pix[None] + e2m
                 flow_l = losses.flow_warp_loss(
                     mid.image, lat_f_imgs, lat_alphas, mid.d_alpha,
-                    e2m, m2e, width, height)
+                    exp2mid_coords, mid2exp_coords, width, height)
             else:
                 flow_l = jnp.zeros(())
 
@@ -180,6 +225,18 @@ def make_train_step(opt_cfg, width: int, height: int,
         aux = dict(radii=outs["radii"], photo=photo, depth_l1=depth_l1,
                    mask=mask_l, flow=flow_l, psnr=psnr_v)
         return total, aux
+
+    return forward
+
+
+def make_train_step(opt_cfg, width: int, height: int,
+                    max_time: float, num_warp: int = 9,
+                    raster_cfg: RasterConfig = RasterConfig(),
+                    spatial_lr_scale: float = 5.0,
+                    use_blce: bool = True):
+    """Build the jitted per-iteration update."""
+    forward = make_forward(opt_cfg, width, height, max_time, num_warp,
+                           raster_cfg, use_blce)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, batch: Batch):
@@ -239,7 +296,7 @@ def make_train_step(opt_cfg, width: int, height: int,
             blce=ts.blce._replace(params=new_blce_p),
             stat_opt=stat_opt, dyn_opt=dyn_opt, sandwich_opt=sand_opt,
             blce_opt=blce_opt, stat_stats=stat_stats, dyn_stats=dyn_stats,
-            step=step)
+            step=step, deform=ts.deform)
         metrics = Metrics(loss=total, photo=aux["photo"],
                           depth_l1=aux["depth_l1"], mask=aux["mask"],
                           flow=aux["flow"], psnr=aux["psnr"])
@@ -252,35 +309,49 @@ def make_exposure_update(width: int, height: int, max_time: float,
                          num_warp: int = 9,
                          raster_cfg: RasterConfig = RasterConfig()):
     """Online exposure re-estimation (train.py:474-492, every 10 iters):
-    ratio of latent-window to frame-to-frame static flow magnitude."""
+    ratio of latent-window to frame-to-frame static flow magnitude.
+
+    All views of the batch update in ONE vmapped dispatch (the reference
+    loops per camera; on the remote-tunnel TPU each dispatch costs real
+    latency, so the batch axis matters here too)."""
 
     @jax.jit
     def update(ts: TrainState, view_idx, w2c, K, time, blur_feat,
                fwd_w2c, bwd_w2c, is_endpoint):
-        cam = Camera(w2c=w2c, K=K, time=time)
-        c2w = se3.view_to_world(w2c)
-        lat_c2w, _ = B.latent_poses(ts.blce, c2w, blur_feat, view_idx, num_warp)
-        lat_w2c = se3.view_to_world(lat_c2w)
-        start = Camera(w2c=lat_w2c[0], K=K, time=time)
-        end = Camera(w2c=lat_w2c[-1], K=K, time=time)
-        fwd = Camera(w2c=fwd_w2c, K=K, time=time)
-        bwd = Camera(w2c=bwd_w2c, K=K, time=time)
+        """Args are batched: view_idx [B], w2c/fwd_w2c/bwd_w2c [B,4,4],
+        K [B,3,3], time/blur_feat/is_endpoint [B]."""
 
-        _, cam_flow = R.get_flow_static(ts.stat, bwd, fwd, cam,
-                                        width, height, config=raster_cfg)
-        _, lat_flow = R.get_flow_static(ts.stat, start, end, cam,
-                                        width, height, config=raster_cfg)
-        cam_mag = jnp.linalg.norm(cam_flow, axis=-1).reshape(-1)
-        lat_mag = jnp.linalg.norm(lat_flow, axis=-1).reshape(-1)
-        q = jnp.quantile(cam_mag, 0.01)
-        valid = cam_mag > q
-        ratio = jnp.where(valid, lat_mag / jnp.maximum(cam_mag, 1e-12), jnp.nan)
-        new_expo = jnp.nanmedian(ratio)
-        new_expo = jnp.where(is_endpoint, new_expo * 0.5, new_expo)
-        # keep the previous value if the estimate degenerates
-        new_expo = jnp.where(jnp.isfinite(new_expo), new_expo,
+        def one(view_idx, w2c, K, time, blur_feat, fwd_w2c, bwd_w2c,
+                is_endpoint):
+            cam = Camera(w2c=w2c, K=K, time=time)
+            c2w = se3.view_to_world(w2c)
+            lat_c2w, _ = B.latent_poses(ts.blce, c2w, blur_feat, view_idx,
+                                        num_warp)
+            lat_w2c = se3.view_to_world(lat_c2w)
+            start = Camera(w2c=lat_w2c[0], K=K, time=time)
+            end = Camera(w2c=lat_w2c[-1], K=K, time=time)
+            fwd = Camera(w2c=fwd_w2c, K=K, time=time)
+            bwd = Camera(w2c=bwd_w2c, K=K, time=time)
+
+            _, cam_flow = R.get_flow_static(ts.stat, bwd, fwd, cam,
+                                            width, height, config=raster_cfg)
+            _, lat_flow = R.get_flow_static(ts.stat, start, end, cam,
+                                            width, height, config=raster_cfg)
+            cam_mag = jnp.linalg.norm(cam_flow, axis=-1).reshape(-1)
+            lat_mag = jnp.linalg.norm(lat_flow, axis=-1).reshape(-1)
+            q = jnp.quantile(cam_mag, 0.01)
+            valid = cam_mag > q
+            ratio = jnp.where(valid, lat_mag / jnp.maximum(cam_mag, 1e-12),
+                              jnp.nan)
+            new_expo = jnp.nanmedian(ratio)
+            new_expo = jnp.where(is_endpoint, new_expo * 0.5, new_expo)
+            # keep the previous value if the estimate degenerates
+            return jnp.where(jnp.isfinite(new_expo), new_expo,
                              ts.blce.exposure_expo[view_idx])
-        expo = ts.blce.exposure_expo.at[view_idx].set(new_expo)
+
+        new_expos = jax.vmap(one)(view_idx, w2c, K, time, blur_feat,
+                                  fwd_w2c, bwd_w2c, is_endpoint)
+        expo = ts.blce.exposure_expo.at[view_idx].set(new_expos)
         return ts._replace(blce=ts.blce._replace(exposure_expo=expo))
 
     return update
