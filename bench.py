@@ -95,6 +95,28 @@ def main():
     dt = time.time() - t0
     ips = iters_timed / dt
 
+    # flow-ON protocol (basketball/sailor/skating/street: the default
+    # lambda_flow_loss=1e-2, arguments/__init__.py:185) — the folded
+    # flow path (train/step.py) makes this E-1 extra geometry passes
+    # instead of the reference's 3 per exposure.
+    opt_flow = OptimizationParams(iterations=10_000, batch_size=2,
+                                  lambda_flow_loss=1e-2)
+    step_flow = make_train_step(opt_flow, W, H, data.max_time, num_warp=9,
+                                raster_cfg=raster_cfg)
+    ts_f = ts
+    t_compile_f = time.time()
+    ts_f, mf = step_flow(ts_f, L.make_batch(data, sampler.next_ids()))
+    jax.block_until_ready(mf.loss)
+    compile_flow_s = time.time() - t_compile_f
+    for _ in range(2):
+        ts_f, mf = step_flow(ts_f, L.make_batch(data, sampler.next_ids()))
+    jax.block_until_ready(mf.loss)
+    t0 = time.time()
+    for _ in range(iters_timed):
+        ts_f, mf = step_flow(ts_f, L.make_batch(data, sampler.next_ids()))
+    jax.block_until_ready(mf.loss)
+    ips_flow = iters_timed / (time.time() - t0)
+
     # inference: rendered frames/sec (combined pass, eval/TTO rate)
     from mobgs_tpu.data.cameras import Camera
     from mobgs_tpu.models import render as R
@@ -121,10 +143,14 @@ def main():
         "value": round(ips, 4),
         "unit": "iters/sec",
         "vs_baseline": round(ips / REFERENCE_ITERS_PER_SEC_EST, 4),
+        "flow_on_iters_per_sec": round(ips_flow, 4),
+        "render_fps": round(fps, 1),
     }
     print(json.dumps(result))
-    print(f"# compile {compile_s:.1f}s, {iters_timed} iters in {dt:.2f}s, "
+    print(f"# compile {compile_s:.1f}s (+{compile_flow_s:.1f}s flow-on), "
+          f"{iters_timed} iters in {dt:.2f}s, "
           f"loss {float(m.loss):.4f}, psnr {float(m.psnr):.2f}, "
+          f"flow-on {ips_flow:.3f} it/s, "
           f"render {fps:.1f} frames/sec/chip", file=sys.stderr)
 
 

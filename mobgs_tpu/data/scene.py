@@ -93,6 +93,11 @@ def _load_colmap(path, **kw):
     return load_colmap_scene(path, **kw)
 
 
+def _load_panoptic(path, **kw):
+    from mobgs_tpu.data.panoptic import load_panoptic_scene
+    return load_panoptic_scene(path, **kw)
+
+
 SCENE_LOAD_CALLBACKS: dict[str, Callable] = {
     "nvidia": lambda p, **kw: load_stereo_scene(p).data,
     "stereo": lambda p, **kw: load_stereo_scene(p).data,
@@ -100,6 +105,7 @@ SCENE_LOAD_CALLBACKS: dict[str, Callable] = {
     "dycheck": _load_iphone,
     "dynerf": _load_dynerf,
     "colmap": _load_colmap,
+    "panoptic": _load_panoptic,
 }
 
 

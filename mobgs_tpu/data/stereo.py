@@ -211,6 +211,8 @@ def sniff_dataset_type(path: str) -> str:
         return "blender"
     if os.path.exists(os.path.join(path, "dataset.json")):
         return "dycheck"
+    if os.path.exists(os.path.join(path, "train_meta.json")):
+        return "panoptic"  # PanopticSports (scene/__init__.py:74-76)
     if os.path.exists(os.path.join(path, "sparse")):
         return "colmap"
     raise ValueError(f"could not sniff dataset type at {path}")
