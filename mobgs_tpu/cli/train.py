@@ -88,18 +88,51 @@ def main(argv=None):
         d_cols = np.full((len(d_traj), 3), 0.5, np.float32)
         traj_times = data.time
     else:
-        from mobgs_tpu.data.stereo import load_stereo_scene
-        scene = load_stereo_scene(args.source_path)
-        data = scene.data
-        print(f"loaded {data.w2c.shape[0]} frames @ {data.width}x{data.height}")
-        pc = warm.warm_init(data.images, data.depths, data.w2c, data.K,
-                            data.time, (data.masks > 0.5).astype(np.float32),
-                            scene.tracklet, cfg.opt.stat_npts,
-                            cfg.opt.dyn_npts, seed=args.seed)
-        s_pts, s_cols, s_times = pc.stat_points, pc.stat_colors, pc.stat_times
-        d_traj = pc.dyn_trajectory
-        d_cols, d_times = pc.dyn_colors, pc.dyn_times
-        traj_times = data.time
+        from mobgs_tpu.data.stereo import sniff_dataset_type
+        kind = sniff_dataset_type(args.source_path)
+        if kind in ("nvidia", "stereo"):
+            # DyBluRF stereo: full warm-stage geometric init (tracklets)
+            from mobgs_tpu.data.stereo import load_stereo_scene
+            scene = load_stereo_scene(args.source_path)
+            data = scene.data
+            print(f"loaded {data.w2c.shape[0]} frames "
+                  f"@ {data.width}x{data.height}")
+            pc = warm.warm_init(data.images, data.depths, data.w2c, data.K,
+                                data.time,
+                                (data.masks > 0.5).astype(np.float32),
+                                scene.tracklet, cfg.opt.stat_npts,
+                                cfg.opt.dyn_npts, seed=args.seed)
+            s_pts, s_cols = pc.stat_points, pc.stat_colors
+            s_times = pc.stat_times
+            d_traj = pc.dyn_trajectory
+            d_cols, d_times = pc.dyn_colors, pc.dyn_times
+            traj_times = data.time
+        else:
+            # registry families (blender/colmap/dycheck/dynerf/panoptic):
+            # seed from the SfM cloud when present, else unproject the
+            # depth priors (reference seeds per-family the same way)
+            from mobgs_tpu.data.scene import load_scene
+            data = load_scene(args.source_path, kind=kind)
+            print(f"loaded [{kind}] {data.w2c.shape[0]} views "
+                  f"@ {data.width}x{data.height}")
+            rng_np = np.random.default_rng(args.seed)
+            if data.points_xyz is not None:
+                pts, cols = data.points_xyz, data.points_rgb
+            else:
+                pts, cols = warm.seed_from_depths(
+                    data, cfg.opt.stat_npts + cfg.opt.dyn_npts, rng_np)
+            n_dyn = min(cfg.opt.dyn_npts, max(1, len(pts) // 10))
+            sel = rng_np.permutation(len(pts))
+            s_sel, d_sel = sel[n_dyn:], sel[:n_dyn]
+            s_pts, s_cols = pts[s_sel], cols[s_sel]
+            s_times = np.zeros(len(s_pts), np.float32)
+            # dynamic seeds start static (constant trajectory); motion
+            # is learned through the spline controls
+            traj_times = np.unique(data.time)
+            d_traj = np.repeat(pts[d_sel][:, None], len(traj_times),
+                               axis=1).astype(np.float32)
+            d_cols = cols[d_sel].astype(np.float32)
+            d_times = np.zeros(len(d_sel), np.float32)
 
     # ---- states
     cap_mult = cfg.tpu.capacity_mult if not args.synthetic else 2.0

@@ -175,3 +175,32 @@ def warm_init(images: np.ndarray, depths: np.ndarray, w2cs: np.ndarray,
                        dyn_colors=dyn_cols.astype(np.float32),
                        dyn_times=dyn_ts,
                        dyn_trajectory=traj)
+
+
+def seed_from_depths(data, n_points: int, rng: np.random.Generator):
+    """Seed a point cloud by unprojecting the per-view depth priors —
+    the registry families without an SfM cloud (blender/dycheck) seed
+    this way; mirrors the per-family random/depth seeding of
+    `dataset_readers.py` (e.g. readNerfSyntheticInfo's random cloud,
+    but anchored to the depth priors when they exist).
+
+    Returns (points [N, 3], colors [N, 3]) float32.
+    """
+    import jax
+
+    V = data.w2c.shape[0]
+    per_view = max(1, n_points // V)
+    unproject = jax.jit(unproject_depth)
+    pts_l, col_l = [], []
+    for v in range(V):
+        pm = np.asarray(unproject(jnp.asarray(data.depths[v]),
+                                  jnp.asarray(data.w2c[v]),
+                                  jnp.asarray(data.K[v])))
+        flat = pm.reshape(-1, 3)
+        cols = data.images[v].reshape(-1, 3)
+        pick = rng.choice(len(flat), size=min(per_view, len(flat)),
+                          replace=False)
+        pts_l.append(flat[pick])
+        col_l.append(cols[pick])
+    return (np.concatenate(pts_l).astype(np.float32),
+            np.concatenate(col_l).astype(np.float32))

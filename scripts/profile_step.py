@@ -114,12 +114,52 @@ def main():
     timeit(f"composite fwd x{NGEOM}", comp_j, bins.gauss_ids, bins.counts,
            splats, geoms.colors, geoms.opacity)
 
-    def comp_loss(sp, cols, opac):
+    def comp_loss(m2d, con, dep, cols, opac):
+        sp = splats._replace(means2d=m2d, conics=con, depths=dep)
         return jnp.sum(comp_many(bins.gauss_ids, bins.counts, sp, cols, opac))
 
-    compg_j = jax.jit(jax.grad(comp_loss, argnums=(0, 1, 2)))
-    timeit(f"composite fwd+bwd x{NGEOM}", compg_j, splats, geoms.colors,
-           geoms.opacity)
+    compg_j = jax.jit(jax.grad(comp_loss, argnums=(0, 1, 2, 3, 4)))
+    timeit(f"composite fwd+bwd x{NGEOM}", compg_j, splats.means2d,
+           splats.conics, splats.depths, geoms.colors, geoms.opacity)
+
+    # --- binning sub-stages, x NGEOM
+    from mobgs_tpu.ops.tiles import RANK_BITS, TILE
+
+    def bin_parts(sp):
+        N = sp.means2d.shape[1]
+        ntx_, nty_ = -(-W // TILE), -(-H // TILE)
+
+        def rank_of(s):
+            live = s.radii > 0
+            order = jnp.argsort(jnp.where(live, s.depths, jnp.inf))
+            return jnp.zeros((N,), jnp.int32).at[order].set(
+                jnp.arange(N, dtype=jnp.int32))
+        return jax.vmap(rank_of)(sp)
+
+    timeit(f"  bin: rank (argsort+scatter) x{NGEOM}", jax.jit(bin_parts),
+           splats)
+
+    def bin_expand_sort(sp):
+        N = sp.means2d.shape[1]
+        E = CFG.tiles_per_gauss
+        ntx_ = -(-W // TILE)
+
+        def one(s):
+            live = s.radii > 0
+            r = s.radii.astype(jnp.float32)
+            x, y = s.means2d[:, 0], s.means2d[:, 1]
+            tx0 = jnp.clip(jnp.floor((x - r) / TILE), 0, ntx_ - 1).astype(jnp.int32)
+            ty0 = jnp.clip(jnp.floor((y - r) / TILE), 0, 17).astype(jnp.int32)
+            o = jnp.arange(E, dtype=jnp.int32)[None, :]
+            tile_id = (ty0[:, None]) * ntx_ + (tx0[:, None] + o % 3)
+            keys = jnp.where(live[:, None], tile_id << RANK_BITS,
+                             jnp.int32(2**31 - 1)).reshape(-1)
+            gidx = jnp.broadcast_to(
+                jnp.arange(N, dtype=jnp.int32)[:, None], (N, E)).reshape(-1)
+            return jax.lax.sort((keys, gidx), num_keys=1)[1]
+        return jax.vmap(one)(sp)
+
+    timeit(f"  bin: expand+sort x{NGEOM}", jax.jit(bin_expand_sort), splats)
 
     import os
     if os.environ.get("PROFILE_LIGHT"):
