@@ -36,8 +36,19 @@ from mobgs_tpu.ops.projection import ProjectedSplats
 from mobgs_tpu.ops.tiles import TILE, TileBins
 
 P = TILE * TILE  # 256 pixels per tile
-CH = 64          # Gaussians processed per chunk (sublane-friendly)
+CH = 64          # minimum chunk unit; max_per_tile must divide by this
+CH_MAX = 128     # preferred chunk size: per-chunk loop iterations carry
+                 # ~0.7us fixed cost on the single TensorCore, so fewer,
+                 # larger chunks win (measured 1.55x fwd at 128 vs 64)
 R = 8            # packed record rows (6 used + 2 pad)
+
+
+def _pick_chunk(K: int) -> int:
+    """Largest chunk size <= CH_MAX that divides max_per_tile."""
+    for c in (CH_MAX, 64):
+        if K % c == 0:
+            return c
+    raise AssertionError(f"max_per_tile={K} must be a multiple of {CH}")
 ALPHA_MAX = 0.99
 ALPHA_MIN = 1.0 / 255.0
 TRANS_EPS = 1e-4
@@ -68,35 +79,35 @@ def _chunk_alpha(rec, live, px, py):
     return jnp.where(valid, alpha, 0.0), dx, dy, sigma, valid, raw
 
 
-def _excl_prefix_prod(one_m_alpha):
-    """Exclusive prefix product along axis 0 of [CH, P].
+def _excl_prefix_prod(one_m_alpha, ch):
+    """Exclusive prefix product along axis 0 of [ch, P].
 
-    Hillis-Steele doubling scan: log2(CH) shifted multiplies instead of
-    CH-1 serial ones (the per-chunk loop runs serially on the single
+    Hillis-Steele doubling scan: log2(ch) shifted multiplies instead of
+    ch-1 serial ones (the per-chunk loop runs serially on the single
     TensorCore, so op count dominates)."""
     x = one_m_alpha
     sh = 1
-    while sh < CH:
+    while sh < ch:
         pad = jnp.ones((sh, x.shape[1]), x.dtype)
         x = x * jnp.concatenate([pad, x[:-sh]], axis=0)
         sh *= 2
-    total = x[CH - 1]
+    total = x[ch - 1]
     excl = jnp.concatenate([jnp.ones((1, x.shape[1]), x.dtype), x[:-1]], 0)
     return excl, total
 
 
-def _incl_prefix_sum(u):
-    """Inclusive prefix sum along axis 0 of [CH, P] (doubling scan)."""
+def _incl_prefix_sum(u, ch):
+    """Inclusive prefix sum along axis 0 of [ch, P] (doubling scan)."""
     x = u
     sh = 1
-    while sh < CH:
+    while sh < ch:
         pad = jnp.zeros((sh, x.shape[1]), x.dtype)
         x = x + jnp.concatenate([pad, x[:-sh]], axis=0)
         sh *= 2
     return x
 
 
-def _fwd_kernel(ntx, count_ref, rec_ref, col_ref, out_ref, acc, trans):
+def _fwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, acc, trans):
     n_chunks = rec_ref.shape[1]
     count = count_ref[pl.program_id(0), 0]
     px, py = _tile_pixel_grid(ntx)
@@ -106,16 +117,16 @@ def _fwd_kernel(ntx, count_ref, rec_ref, col_ref, out_ref, acc, trans):
 
     def cond(state):
         j, tmax = state
-        return (j < n_chunks) & (j * CH < count) & (tmax > TRANS_EPS)
+        return (j < n_chunks) & (j * ch < count) & (tmax > TRANS_EPS)
 
     def body(state):
         j, _ = state
-        s = j * CH
-        live = (jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)[:, 0] + s) < count
-        rec = rec_ref[0, j, :, :]                  # [R, CH]
-        col = col_ref[0, j, :, :]                  # [CH, CE]
+        s = j * ch
+        live = (jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)[:, 0] + s) < count
+        rec = rec_ref[0, j, :, :]                  # [R, ch]
+        col = col_ref[0, j, :, :]                  # [ch, CE]
         alpha, _, _, _, _, _ = _chunk_alpha(rec, live, px, py)
-        prefix, total = _excl_prefix_prod(1.0 - alpha)
+        prefix, total = _excl_prefix_prod(1.0 - alpha, ch)
         w = alpha * prefix * trans[...]            # [CH, P]
         acc[...] += jax.lax.dot_general(
             w, col, (((0,), (0,)), ((), ())),
@@ -128,7 +139,7 @@ def _fwd_kernel(ntx, count_ref, rec_ref, col_ref, out_ref, acc, trans):
     out_ref[0, :, :] = acc[...]
 
 
-def _bwd_kernel(ntx, count_ref, rec_ref, col_ref, out_ref, g_ref,
+def _bwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, g_ref,
                 grec_ref, gcol_ref, trans, gacc, gdt):
     n_chunks = rec_ref.shape[1]
     count = count_ref[pl.program_id(0), 0]
@@ -152,25 +163,25 @@ def _bwd_kernel(ntx, count_ref, rec_ref, col_ref, out_ref, g_ref,
 
     def cond(state):
         j, tmax = state
-        return (j < n_chunks) & (j * CH < count) & (tmax > TRANS_EPS)
+        return (j < n_chunks) & (j * ch < count) & (tmax > TRANS_EPS)
 
     def body(state):
         j, _ = state
-        s = j * CH
-        live = (jax.lax.broadcasted_iota(jnp.int32, (CH, 1), 0)[:, 0] + s) < count
-        rec = rec_ref[0, j, :, :]                  # [R, CH]
-        col = col_ref[0, j, :, :]                  # [CH, CE]
+        s = j * ch
+        live = (jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)[:, 0] + s) < count
+        rec = rec_ref[0, j, :, :]                  # [R, ch]
+        col = col_ref[0, j, :, :]                  # [ch, CE]
         ca, cb, cc = rec[2][:, None], rec[3][:, None], rec[4][:, None]
 
         alpha, dx, dy, sigma, valid, raw = _chunk_alpha(rec, live, px, py)
-        prefix, total = _excl_prefix_prod(1.0 - alpha)
-        T_i = prefix * trans[...]                  # [CH, P]
+        prefix, total = _excl_prefix_prod(1.0 - alpha, ch)
+        T_i = prefix * trans[...]                  # [ch, P]
         w = alpha * T_i
 
         cg = jax.lax.dot_general(col, g, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)  # [CH,P]
+                                 preferred_element_type=jnp.float32)  # [ch,P]
         u = w * cg
-        gacc_incl = _incl_prefix_sum(u) + gacc[...]  # [CH, P] (+carry)
+        gacc_incl = _incl_prefix_sum(u, ch) + gacc[...]  # [ch, P] (+carry)
 
         one_m = jnp.maximum(1.0 - alpha, 1e-6)
         s_term = (gdt[...] - gacc_incl) / one_m
@@ -189,21 +200,21 @@ def _bwd_kernel(ntx, count_ref, rec_ref, col_ref, out_ref, g_ref,
             g_sigma * dx * dy,
             g_sigma * 0.5 * dy * dy,
             jnp.where(gate, jnp.exp(-sigma) * g_alpha, 0.0),
-        ], axis=0)                                 # [6CH, P]
+        ], axis=0)                                 # [6ch, P]
         red = jax.lax.dot_general(
             panels, jnp.ones((panels.shape[1], 1), jnp.float32),
             (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)    # [6CH, 1]
+            preferred_element_type=jnp.float32)    # [6ch, 1]
         grec = jnp.concatenate(
-            [red.reshape(6, CH), jnp.zeros((2, CH), jnp.float32)], axis=0)
-        grec_ref[0, j, :, :] = grec                # [R, CH]
+            [red.reshape(6, ch), jnp.zeros((2, ch), jnp.float32)], axis=0)
+        grec_ref[0, j, :, :] = grec                # [R, ch]
         gcol_ref[0, j, :, :] = jax.lax.dot_general(
             w, g, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
         new_trans = trans[...] * total
         trans[...] = new_trans
-        gacc[...] = gacc_incl[CH - 1][None]
+        gacc[...] = gacc_incl[ch - 1][None]
         return j + 1, jnp.max(new_trans)
 
     jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
@@ -214,8 +225,8 @@ def _interpret() -> bool:
 
 
 def _pack_recs(bins: TileBins, splats: ProjectedSplats,
-               opacities: jnp.ndarray) -> jnp.ndarray:
-    """Gather per-tile records into the packed [T, n_chunks, R, CH]
+               opacities: jnp.ndarray, ch: int) -> jnp.ndarray:
+    """Gather per-tile records into the packed [T, n_chunks, R, ch]
     layout (chunk axis leading so kernels index it dynamically without
     lane-dim slicing)."""
     ids = bins.gauss_ids                     # [T, K]
@@ -227,26 +238,27 @@ def _pack_recs(bins: TileBins, splats: ProjectedSplats,
         jnp.zeros_like(opacities), jnp.zeros_like(opacities),
     ], axis=0)                               # [R, N]
     packed = rows[:, ids]                    # [R, T, K]
-    packed = packed.reshape(R, T, K // CH, CH).transpose(1, 2, 0, 3)
-    return packed                            # [T, n_chunks, R, CH]
+    packed = packed.reshape(R, T, K // ch, ch).transpose(1, 2, 0, 3)
+    return packed                            # [T, n_chunks, R, ch]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _composite_core(n_tiles: int, K: int, ntx: int, recs: jnp.ndarray,
-                    colors_t: jnp.ndarray, counts: jnp.ndarray) -> jnp.ndarray:
-    return _composite_fwd_call(n_tiles, K, ntx, recs, colors_t, counts)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _composite_core(n_tiles: int, K: int, ntx: int, ch: int,
+                    recs: jnp.ndarray, colors_t: jnp.ndarray,
+                    counts: jnp.ndarray) -> jnp.ndarray:
+    return _composite_fwd_call(n_tiles, K, ntx, ch, recs, colors_t, counts)
 
 
-def _composite_fwd_call(n_tiles, K, ntx, recs, colors_t, counts):
+def _composite_fwd_call(n_tiles, K, ntx, ch, recs, colors_t, counts):
     CE = colors_t.shape[-1]
-    NC = K // CH
+    NC = K // ch
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, ntx),
+        functools.partial(_fwd_kernel, ntx, ch),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # counts [T,1]
-            pl.BlockSpec((1, NC, R, CH), lambda t: (t, 0, 0, 0)),
-            pl.BlockSpec((1, NC, CH, CE), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NC, R, ch), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NC, ch, CE), lambda t: (t, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, P, CE), lambda t: (t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n_tiles, P, CE), jnp.float32),
@@ -257,29 +269,29 @@ def _composite_fwd_call(n_tiles, K, ntx, recs, colors_t, counts):
     return out
 
 
-def _composite_fwd(n_tiles, K, ntx, recs, colors_t, counts):
-    out = _composite_fwd_call(n_tiles, K, ntx, recs, colors_t, counts)
+def _composite_fwd(n_tiles, K, ntx, ch, recs, colors_t, counts):
+    out = _composite_fwd_call(n_tiles, K, ntx, ch, recs, colors_t, counts)
     return out, (recs, colors_t, counts, out)
 
 
-def _composite_bwd(n_tiles, K, ntx, res, g):
+def _composite_bwd(n_tiles, K, ntx, ch, res, g):
     recs, colors_t, counts, out = res
     CE = colors_t.shape[-1]
-    NC = K // CH
+    NC = K // ch
     pspec = pl.BlockSpec((1, P, CE), lambda t: (t, 0, 0))
     grec, gcol = pl.pallas_call(
-        functools.partial(_bwd_kernel, ntx),
+        functools.partial(_bwd_kernel, ntx, ch),
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, NC, R, CH), lambda t: (t, 0, 0, 0)),
-            pl.BlockSpec((1, NC, CH, CE), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NC, R, ch), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NC, ch, CE), lambda t: (t, 0, 0, 0)),
             pspec, pspec,
         ],
-        out_specs=(pl.BlockSpec((1, NC, R, CH), lambda t: (t, 0, 0, 0)),
-                   pl.BlockSpec((1, NC, CH, CE), lambda t: (t, 0, 0, 0))),
-        out_shape=(jax.ShapeDtypeStruct((n_tiles, NC, R, CH), jnp.float32),
-                   jax.ShapeDtypeStruct((n_tiles, NC, CH, CE), jnp.float32)),
+        out_specs=(pl.BlockSpec((1, NC, R, ch), lambda t: (t, 0, 0, 0)),
+                   pl.BlockSpec((1, NC, ch, CE), lambda t: (t, 0, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, NC, R, ch), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, NC, ch, CE), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((1, P), jnp.float32),
                         pltpu.VMEM((1, P), jnp.float32),
                         pltpu.VMEM((1, P), jnp.float32)],
@@ -304,16 +316,17 @@ def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
     n_tiles = ntx * nty
     K = bins.gauss_ids.shape[1]
     assert K % CH == 0, f"max_per_tile must be a multiple of {CH}"
+    ch = _pick_chunk(K)
     N, C = colors.shape
     dt = colors.dtype
 
     colors_ext = jnp.concatenate(
         [colors, splats.depths[:, None], jnp.ones((N, 1), dt)], axis=1)
     CE = C + 2
-    recs = _pack_recs(bins, splats, opacities)      # [T, NC, R, CH]
+    recs = _pack_recs(bins, splats, opacities, ch)  # [T, NC, R, ch]
     colors_t = colors_ext[bins.gauss_ids].reshape(
-        n_tiles, K // CH, CH, CE)                   # [T, NC, CH, CE]
-    out = _composite_core(n_tiles, K, ntx, recs, colors_t, bins.counts)
+        n_tiles, K // ch, ch, CE)                   # [T, NC, ch, CE]
+    out = _composite_core(n_tiles, K, ntx, ch, recs, colors_t, bins.counts)
 
     full = out.reshape(nty, ntx, TILE, TILE, CE)
     full = full.transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, CE)

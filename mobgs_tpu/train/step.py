@@ -131,13 +131,18 @@ def make_forward(opt_cfg, width: int, height: int,
             # collapse into zero extra geometry evaluations; XLA CSEs
             # the duplicate mid projection)
             if compute_flow:
-                ratios = (jnp.arange(E) - half) / half  # exposure_max_delta=1
+                ratios = [(e - half) / half for e in range(E)]
                 Ntot = stat.capacity + dyn.capacity
                 mid2d = R.project_combined(stat, dyn, cam, width, height,
                                            max_time, None, raster_cfg)
-                exp2d = jax.vmap(lambda d: R.project_combined(
-                    stat, dyn, cam, width, height, max_time, d,
-                    raster_cfg))(ratios)
+                # static unroll over exposures: batched (vmapped)
+                # gather/scatter lowers ~3x slower on TPU than the same
+                # ops unrolled (measured 327 vs 115 ms for the full
+                # composite fwd+bwd at protocol shapes)
+                exp2d = jnp.stack([
+                    R.project_combined(stat, dyn, cam, width, height,
+                                       max_time, d, raster_cfg)
+                    for d in ratios])
                 flow2d = jax.lax.stop_gradient(mid2d[None] - exp2d)  # [E,N,2]
                 mid_extra = (-flow2d).transpose(1, 0, 2).reshape(Ntot, 2 * E)
             else:
@@ -153,9 +158,9 @@ def make_forward(opt_cfg, width: int, height: int,
                                 get_dynamic=True, means2d_offset=offset,
                                 extra_colors=mid_extra, config=raster_cfg)
 
-            # ---- the other E-1 latent sharp renders (train.py:502-541)
+            # ---- the other E-1 latent sharp renders (train.py:502-541),
+            # statically unrolled (see the vmap note above)
             other = [i for i in range(E) if i != half]
-            lat_idx = jnp.asarray(other, jnp.int32)
 
             def latent_render(w2c_e, d_expo):
                 cam_e = Camera(w2c=w2c_e, K=K, time=time)
@@ -164,8 +169,8 @@ def make_forward(opt_cfg, width: int, height: int,
                                     config=raster_cfg)
                 return out.image
 
-            lat_imgs = jax.vmap(latent_render)(lat_w2c[lat_idx], expo[lat_idx])
-            pred_image = (jnp.sum(lat_imgs, axis=0) + mid.image) / E + 1e-10
+            lat_imgs = [latent_render(lat_w2c[e], expo[e]) for e in other]
+            pred_image = (sum(lat_imgs) + mid.image) / E + 1e-10
 
             # ---- exposure flow consistency (train.py:564-584). The
             # exposure-time passes double as the latent image/alpha
@@ -185,15 +190,22 @@ def make_forward(opt_cfg, width: int, height: int,
                                         config=raster_cfg)
                     return out.image, out.d_alpha, out.flow
 
-                f_imgs, f_alphas, e2m_o = jax.vmap(flow_exp)(
-                    ratios[lat_idx], flow2d[lat_idx])
-                lat_f_imgs = (jnp.zeros((E,) + mid.image.shape)
-                              .at[lat_idx].set(f_imgs)
-                              .at[half].set(mid.image))
-                lat_alphas = (jnp.zeros((E,) + mid.d_alpha.shape)
-                              .at[lat_idx].set(f_alphas)
-                              .at[half].set(mid.d_alpha))
-                e2m = jnp.zeros((E, height, width, 2)).at[lat_idx].set(e2m_o)
+                # static unroll over the E-1 exposure passes; slot the
+                # mid render into position `half`
+                lat_f_l, lat_a_l, e2m_l = [], [], []
+                for e in range(E):
+                    if e == half:
+                        lat_f_l.append(mid.image)
+                        lat_a_l.append(mid.d_alpha)
+                        e2m_l.append(jnp.zeros((height, width, 2)))
+                    else:
+                        fi, fa, fe = flow_exp(ratios[e], flow2d[e])
+                        lat_f_l.append(fi)
+                        lat_a_l.append(fa)
+                        e2m_l.append(fe)
+                lat_f_imgs = jnp.stack(lat_f_l)
+                lat_alphas = jnp.stack(lat_a_l)
+                e2m = jnp.stack(e2m_l)
                 exp2mid_coords = pix[None] + e2m
                 flow_l = losses.flow_warp_loss(
                     mid.image, lat_f_imgs, lat_alphas, mid.d_alpha,
@@ -204,9 +216,15 @@ def make_forward(opt_cfg, width: int, height: int,
             return dict(pred=pred_image, depth=mid.depth, d_alpha=mid.d_alpha,
                         radii=mid.radii, flow_l=flow_l)
 
-        outs = jax.vmap(per_view)(batch.view_idx, batch.w2c, batch.K,
-                                  batch.time, batch.image, batch.blur_feat,
-                                  offsets)
+        # static unroll over the camera batch (B is 2 in the protocol;
+        # batched gather/scatter under vmap costs ~3x on TPU)
+        per_view_outs = [
+            per_view(batch.view_idx[b], batch.w2c[b], batch.K[b],
+                     batch.time[b], batch.image[b], batch.blur_feat[b],
+                     offsets[b])
+            for b in range(Bsz)]
+        outs = {k: jnp.stack([o[k] for o in per_view_outs])
+                for k in per_view_outs[0]}
 
         pred = outs["pred"].transpose(0, 3, 1, 2)         # [B,3,H,W]
         gt = batch.image.transpose(0, 3, 1, 2)
