@@ -103,7 +103,9 @@ def main():
                                   lambda_flow_loss=1e-2)
     step_flow = make_train_step(opt_flow, W, H, data.max_time, num_warp=9,
                                 raster_cfg=raster_cfg)
-    ts_f = ts
+    # copy: step_flow donates its input state and ts is still needed
+    # for the inference-fps section below
+    ts_f = jax.tree.map(jnp.copy, ts)
     t_compile_f = time.time()
     ts_f, mf = step_flow(ts_f, L.make_batch(data, sampler.next_ids()))
     jax.block_until_ready(mf.loss)
