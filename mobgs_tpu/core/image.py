@@ -25,18 +25,34 @@ def _gaussian_window(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return w2d.astype(np.float32)
 
 
-def _depthwise_blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Zero-padded depthwise 2D conv, img [B, C, H, W]."""
+@functools.lru_cache(maxsize=None)
+def _gaussian_1d(window_size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(window_size, dtype=np.float64)
+    g = np.exp(-((x - window_size // 2) ** 2) / (2 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _depthwise_blur(img: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
+    """Zero-padded depthwise Gaussian blur, img [B, C, H, W].
+
+    The reference's 2D window is `outer(g, g)` of a 1D Gaussian
+    (loss_utils.py:351-360) — exactly separable, so two 1D convs give
+    bit-equal-to-rounding results at k+k taps instead of k*k (the 2D
+    3-channel f32 conv was ~40 ms/step fwd+bwd on the v5e)."""
     C = img.shape[1]
-    k = window.shape[0]
-    kernel = jnp.asarray(window)[None, None].repeat(C, 0)  # [C,1,k,k]
+    k = window_size
+    g = jnp.asarray(_gaussian_1d(k))
+    kh = jnp.broadcast_to(g[None, None, None, :], (C, 1, 1, k))
+    kv = jnp.broadcast_to(g[None, None, :, None], (C, 1, k, 1))
+    dn = ("NCHW", "OIHW", "NCHW")
+    out = jax.lax.conv_general_dilated(
+        img, kh, window_strides=(1, 1),
+        padding=[(0, 0), (k // 2, k // 2)],
+        dimension_numbers=dn, feature_group_count=C)
     return jax.lax.conv_general_dilated(
-        img, kernel,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=C,
-    )
+        out, kv, window_strides=(1, 1),
+        padding=[(k // 2, k // 2), (0, 0)],
+        dimension_numbers=dn, feature_group_count=C)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
@@ -44,13 +60,12 @@ def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11,
     """SSIM on [B, C, H, W] (or [C, H, W]) images in [0, 1]."""
     if img1.ndim == 3:
         img1, img2 = img1[None], img2[None]
-    window = _gaussian_window(window_size)
-    mu1 = _depthwise_blur(img1, window)
-    mu2 = _depthwise_blur(img2, window)
+    mu1 = _depthwise_blur(img1, window_size)
+    mu2 = _depthwise_blur(img2, window_size)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_blur(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_blur(img2 * img2, window) - mu2_sq
-    sigma12 = _depthwise_blur(img1 * img2, window) - mu1_mu2
+    sigma1_sq = _depthwise_blur(img1 * img1, window_size) - mu1_sq
+    sigma2_sq = _depthwise_blur(img2 * img2, window_size) - mu2_sq
+    sigma12 = _depthwise_blur(img1 * img2, window_size) - mu1_mu2
     C1, C2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2))

@@ -110,12 +110,18 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
                 get_static: bool = False, get_dynamic: bool = False,
                 extra_colors: jnp.ndarray | None = None,
                 means2d_offset: jnp.ndarray | None = None,
+                subset_alpha_only: bool = False,
                 config: RasterConfig = RasterConfig()) -> RenderOut:
     """Render one view at one time. Equivalent of reference `render()`.
 
     Args:
       extra_colors: [N, F] additional per-Gaussian channels composited
         with zero background (e.g. 2D flow displacements).
+      subset_alpha_only: when True, the static/dynamic subset passes
+        composite ONLY alpha (no color channels) — what the train-step
+        losses consume; d_image/d_depth/s_image stay None. Matches the
+        reference's 1-channel alpha launches (renderer :158-177) and
+        skips the per-entry color gather + its backward scatter.
     """
     geom = assemble(stat, dyn, cam.time, max_time, delta_exposure)
     colors = geom.colors
@@ -125,29 +131,42 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
         bg = jnp.concatenate([bg, jnp.zeros(extra_colors.shape[1])])
 
     masks = [jnp.ones_like(geom.stat_mask)]
+    sub_masks = []
+    sub_list = sub_masks if subset_alpha_only else masks
     if get_dynamic:
-        masks.append(geom.dyn_mask)
+        sub_list.append(geom.dyn_mask)
     if get_static:
-        masks.append(geom.stat_mask)
+        sub_list.append(geom.stat_mask)
     out: RasterOut = rasterize(
         geom.means, geom.quats, geom.scales, geom.opacity, colors,
         cam.w2c, cam.K, width, height, background=bg,
-        pass_masks=jnp.stack(masks), means2d_offset=means2d_offset,
+        pass_masks=jnp.stack(masks),
+        alpha_masks=jnp.stack(sub_masks) if sub_masks else None,
+        means2d_offset=means2d_offset,
         config=config)
 
     rays = cam_rays(cam, width, height)
     image = apply_sandwich(sandwich, out.images[0, ..., :9], rays)
     i = 1
+    j = 0
     d_image = d_depth = d_alpha = s_image = s_alpha = None
     if get_dynamic:
-        d_image = apply_sandwich(sandwich, out.images[i, ..., :9], rays)
-        d_depth = out.depths[i]
-        d_alpha = out.alphas[i]
-        i += 1
+        if subset_alpha_only:
+            d_alpha = out.sub_alphas[j]
+            j += 1
+        else:
+            d_image = apply_sandwich(sandwich, out.images[i, ..., :9], rays)
+            d_depth = out.depths[i]
+            d_alpha = out.alphas[i]
+            i += 1
     if get_static:
-        s_image = apply_sandwich(sandwich, out.images[i, ..., :9], rays)
-        s_alpha = out.alphas[i]
-        i += 1
+        if subset_alpha_only:
+            s_alpha = out.sub_alphas[j]
+            j += 1
+        else:
+            s_image = apply_sandwich(sandwich, out.images[i, ..., :9], rays)
+            s_alpha = out.alphas[i]
+            i += 1
     flow = out.images[0, ..., 9:] if extra_colors is not None else None
     return RenderOut(image=image, depth=out.depths[0], alpha=out.alphas[0],
                      d_image=d_image, d_depth=d_depth, d_alpha=d_alpha,

@@ -106,7 +106,8 @@ def composite_tiles(bins: TileBins, splats: ProjectedSplats,
         x = x.transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, ch)
         return x[:height, :width]
 
-    image = untile(imgs.reshape(-1, P, C), C)
+    # explicit leading dim: -1 is uninferable when C == 0 (alpha-only)
+    image = untile(imgs.reshape(n_tiles + pad, P, C), C)
     alpha = untile(alphas.reshape(-1, P, 1), 1)[..., 0]
     depth_acc = untile(depths.reshape(-1, P, 1), 1)[..., 0]
     if background is not None:

@@ -41,6 +41,7 @@ class RasterOut(NamedTuple):
     depths: jnp.ndarray     # [P, H, W] expected depth
     means2d: jnp.ndarray    # [N, 2] pixel-space projected centres
     radii: jnp.ndarray      # [N] int32 (0 = culled)
+    sub_alphas: jnp.ndarray | None = None  # [P2, H, W] alpha-only passes
 
 
 def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
@@ -49,6 +50,7 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
               width: int, height: int,
               background: jnp.ndarray | None = None,
               pass_masks: jnp.ndarray | None = None,
+              alpha_masks: jnp.ndarray | None = None,
               means2d_offset: jnp.ndarray | None = None,
               config: RasterConfig = RasterConfig()) -> RasterOut:
     """Render one camera view with one or more subset passes.
@@ -60,6 +62,11 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
       background: [C] blended as bg*(1-alpha), or None.
       pass_masks: [P, N] multiplicative opacity masks per pass
         (None → single pass over all Gaussians).
+      alpha_masks: [P2, N] masks for ALPHA-ONLY subset passes — these
+        composite zero color channels (CE=2 instead of C+2), skipping
+        the per-entry color gather and its backward scatter-add; the
+        gsplat 1-channel alpha launches of reference renderer :158-177
+        map here.
       means2d_offset: [N, 2] zeros whose gradient is the view-space
         positional gradient used for densification stats (the JAX
         equivalent of gsplat's retain_grad on info["means2d"],
@@ -101,8 +108,23 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
     images = jnp.stack([o[0] for o in outs])
     alphas = jnp.stack([o[1] for o in outs])
     depths = jnp.stack([o[2] for o in outs])
+
+    sub_alphas = None
+    if alpha_masks is not None:
+        zero_colors = jnp.zeros((means.shape[0], 0), colors.dtype)
+
+        def alpha_pass(mask):
+            _, a, _ = composite(bins, splats, zero_colors,
+                                opacities * mask, width, height,
+                                background=None,
+                                tile_chunk=config.tile_chunk)
+            return a
+
+        sub_alphas = jnp.stack([alpha_pass(alpha_masks[i])
+                                for i in range(alpha_masks.shape[0])])
     return RasterOut(images=images, alphas=alphas, depths=depths,
-                     means2d=splats.means2d, radii=splats.radii)
+                     means2d=splats.means2d, radii=splats.radii,
+                     sub_alphas=sub_alphas)
 
 
 def project_means2d(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,

@@ -156,7 +156,8 @@ def make_forward(opt_cfg, width: int, height: int,
             mid = R.render_view(stat, dyn, sandwich, cam, width, height,
                                 bg3, max_time, None, get_static=False,
                                 get_dynamic=True, means2d_offset=offset,
-                                extra_colors=mid_extra, config=raster_cfg)
+                                extra_colors=mid_extra,
+                                subset_alpha_only=True, config=raster_cfg)
 
             # ---- the other E-1 latent sharp renders (train.py:502-541),
             # statically unrolled (see the vmap note above)
@@ -187,6 +188,7 @@ def make_forward(opt_cfg, width: int, height: int,
                     out = R.render_view(stat, dyn, sandwich, cam, width,
                                         height, bg3, max_time, d_expo,
                                         get_dynamic=True, extra_colors=fl,
+                                        subset_alpha_only=True,
                                         config=raster_cfg)
                     return out.image, out.d_alpha, out.flow
 
