@@ -7,15 +7,24 @@ a 64-bit radix sort. Under XLA we need static shapes, so the design is:
 1. every Gaussian expands to a *fixed* budget of ``tiles_per_gauss``
    candidate (tile, gaussian) entries covering its screen bbox
    (row-major; the bbox is radius-clamped so it always fits the budget),
-2. each entry gets a fused int32 sort key ``tile_id << RANK_BITS |
-   depth_rank`` (depth rank precomputed with one argsort over the
-   Gaussian axis), invalid entries get INT32_MAX,
-3. one `jnp.argsort` over all entries yields contiguous per-tile,
-   front-to-back runs; per-tile segment starts come from a
+2. each entry gets a fused int32 sort key ``tile_id << depth_bits |
+   depth_key`` where ``depth_key`` is the top bits of the positive
+   float32 depth's bit pattern — monotonic for positive floats, so the
+   fused key orders (tile, then front-to-back) without the argsort+
+   scatter rank precompute the first design used (that rank pass cost
+   3.3 ms per geometry at protocol scale vs 1.2 ms for the sort
+   itself); invalid entries get INT32_MAX,
+3. one fused key-value sort over all entries yields contiguous
+   per-tile, front-to-back runs; per-tile segment starts come from a
    `searchsorted` over the sorted keys,
 4. the compositor reads at most ``max_per_tile`` front-most entries per
    tile (overflow drops the *farthest* Gaussians, whose contribution is
    already attenuated by transmittance).
+
+Depth quantization: with T tiles, depth keeps ``31 - ceil(log2(T+1))``
+bits (21 at 512x288) — ~1e-6 relative depth resolution; gsplat's 64-bit
+(tile ‖ f32 depth) keys differ only for Gaussians closer than that,
+where compositing order is numerically irrelevant.
 
 Gradients do not flow through the binning (indices are integer data);
 they flow through the gathers in the compositor.
@@ -31,7 +40,6 @@ import jax.numpy as jnp
 from mobgs_tpu.ops.projection import ProjectedSplats
 
 TILE = 16
-RANK_BITS = 17  # supports N up to 2^17 = 131072 Gaussians per shard
 
 
 class TileBins(NamedTuple):
@@ -47,7 +55,6 @@ def bin_gaussians(splats: ProjectedSplats, width: int, height: int,
     n_tiles_y = -(-height // TILE)
     n_tiles = n_tiles_x * n_tiles_y
     N = splats.means2d.shape[0]
-    assert N <= (1 << RANK_BITS), f"shard N={N} exceeds rank-key capacity"
 
     live = splats.radii > 0
     r = splats.radii.astype(jnp.float32)
@@ -72,10 +79,12 @@ def bin_gaussians(splats: ProjectedSplats, width: int, height: int,
     ty0 = jnp.where(over, jnp.clip(cty - (bh_c - 1) // 2, 0, n_tiles_y - 1), ty0)
     bw, bh = bw_c, bh_c
 
-    # depth rank over Gaussians (front-most = 0)
-    order = jnp.argsort(jnp.where(live, splats.depths, jnp.inf))
-    rank = jnp.zeros((N,), jnp.int32).at[order].set(
-        jnp.arange(N, dtype=jnp.int32))
+    # front-to-back depth key from the positive-float bit pattern
+    # (monotonic); depth gets the bits the tile id doesn't need
+    tile_bits = max(1, (n_tiles).bit_length())
+    depth_bits = 31 - tile_bits
+    dpos = jnp.maximum(splats.depths, 1e-12)  # culled entries masked below
+    dkey = (jax.lax.bitcast_convert_type(dpos, jnp.int32) >> (31 - depth_bits)) & ((1 << depth_bits) - 1)
 
     # expand: entry e = (gaussian g, offset o)
     o = jnp.arange(tiles_per_gauss, dtype=jnp.int32)[None, :]      # [1, E]
@@ -84,7 +93,7 @@ def bin_gaussians(splats: ProjectedSplats, width: int, height: int,
     tile_id = (ty0[:, None] + dy) * n_tiles_x + (tx0[:, None] + dx)  # [N, E]
     entry_valid = (o < bw[:, None] * bh[:, None]) & live[:, None]
     keys = jnp.where(entry_valid,
-                     (tile_id << RANK_BITS) | rank[:, None],
+                     (tile_id << depth_bits) | dkey[:, None],
                      jnp.int32(2**31 - 1)).reshape(-1)
     gidx = jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[:, None],
                             (N, tiles_per_gauss)).reshape(-1)
@@ -93,7 +102,7 @@ def bin_gaussians(splats: ProjectedSplats, width: int, height: int,
     # passes over the 0.5-1M entry arrays)
     keys_sorted, gidx_sorted = jax.lax.sort((keys, gidx), num_keys=1)
 
-    tile_keys = (jnp.arange(n_tiles + 1, dtype=jnp.int32) << RANK_BITS)
+    tile_keys = (jnp.arange(n_tiles + 1, dtype=jnp.int32) << depth_bits)
     bounds = jnp.searchsorted(keys_sorted, tile_keys)
     starts = bounds[:-1]
     counts = (bounds[1:] - starts).astype(jnp.int32)
