@@ -65,18 +65,23 @@ def _tile_pixel_grid(ntx: int, dtype=jnp.float32):
     return px, py
 
 
-def _chunk_alpha(rec, live, px, py):
-    """Alpha panel for one chunk. rec [R, CH]; returns [CH, P] pieces."""
+def _chunk_geom(rec, px, py):
+    """Shared per-chunk geometry. rec [R, ch] -> [ch, P] pieces."""
     mx, my = rec[0][:, None], rec[1][:, None]
-    ca, cb, cc, op = (rec[2][:, None], rec[3][:, None], rec[4][:, None],
-                      rec[5][:, None])
+    ca, cb, cc = rec[2][:, None], rec[3][:, None], rec[4][:, None]
     dx = px - mx
     dy = py - my
     sigma = 0.5 * (ca * dx * dx + cc * dy * dy) + cb * dx * dy
-    raw = op * jnp.exp(-sigma)
+    expneg = jnp.exp(-sigma)
+    return dx, dy, sigma, expneg
+
+
+def _chunk_alpha_of(op_row, expneg, sigma, live):
+    """Gated alpha for one opacity row (main or fused subset)."""
+    raw = op_row[:, None] * expneg
     alpha = jnp.minimum(ALPHA_MAX, raw)
     valid = (sigma >= 0) & (alpha > ALPHA_MIN) & live[:, None]
-    return jnp.where(valid, alpha, 0.0), dx, dy, sigma, valid, raw
+    return jnp.where(valid, alpha, 0.0), valid, raw
 
 
 def _excl_prefix_prod(one_m_alpha, ch):
@@ -125,9 +130,10 @@ def _fwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, acc, trans):
         live = (jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)[:, 0] + s) < count
         rec = rec_ref[0, j, :, :]                  # [R, ch]
         col = col_ref[0, j, :, :]                  # [ch, CE]
-        alpha, _, _, _, _, _ = _chunk_alpha(rec, live, px, py)
+        dx, dy, sigma, expneg = _chunk_geom(rec, px, py)
+        alpha, _, _ = _chunk_alpha_of(rec[5], expneg, sigma, live)
         prefix, total = _excl_prefix_prod(1.0 - alpha, ch)
-        w = alpha * prefix * trans[...]            # [CH, P]
+        w = alpha * prefix * trans[...]            # [ch, P]
         acc[...] += jax.lax.dot_general(
             w, col, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)    # [P, CE]
@@ -137,6 +143,58 @@ def _fwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, acc, trans):
 
     jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
     out_ref[0, :, :] = acc[...]
+
+
+def _fwd_kernel_sub(ntx, ch, count_ref, rec_ref, col_ref, out_ref, out2_ref,
+                    acc, trans, trans2, acc2):
+    """Fused variant: a SECOND transmittance chain over the subset-
+    masked opacities (record row 6) rides the same chunk loop and
+    writes its alpha into a separate [T, 1, P] output — the fused
+    equivalent of the reference's 1-channel dynamic-alpha launch
+    (renderer :158-177) sharing pack, DMA, and the loop."""
+    n_chunks = rec_ref.shape[1]
+    count = count_ref[pl.program_id(0), 0]
+    px, py = _tile_pixel_grid(ntx)
+
+    acc[...] = jnp.zeros_like(acc)
+    acc2[...] = jnp.zeros_like(acc2)
+    trans[...] = jnp.ones_like(trans)
+    trans2[...] = jnp.ones_like(trans2)
+
+    def cond(state):
+        j, tmax = state
+        return (j < n_chunks) & (j * ch < count) & (tmax > TRANS_EPS)
+
+    def body(state):
+        j, _ = state
+        s = j * ch
+        live = (jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)[:, 0] + s) < count
+        rec = rec_ref[0, j, :, :]                  # [R, ch]
+        col = col_ref[0, j, :, :]                  # [ch, CE]
+        dx, dy, sigma, expneg = _chunk_geom(rec, px, py)
+
+        alpha, _, _ = _chunk_alpha_of(rec[5], expneg, sigma, live)
+        prefix, total = _excl_prefix_prod(1.0 - alpha, ch)
+        w = alpha * prefix * trans[...]            # [ch, P]
+        acc[...] += jax.lax.dot_general(
+            w, col, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [P, CE]
+        new_trans = trans[...] * total
+        trans[...] = new_trans
+
+        alpha_s, _, _ = _chunk_alpha_of(rec[6], expneg, sigma, live)
+        prefix_s, total_s = _excl_prefix_prod(1.0 - alpha_s, ch)
+        w_s = alpha_s * prefix_s * trans2[...]
+        acc2[...] += jax.lax.dot_general(
+            jnp.ones((1, ch), jnp.float32), w_s, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [1, P]
+        new_t2 = trans2[...] * total_s
+        trans2[...] = new_t2
+        return j + 1, jnp.maximum(jnp.max(new_trans), jnp.max(new_t2))
+
+    jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
+    out_ref[0, :, :] = acc[...]
+    out2_ref[0, :, :] = acc2[...]
 
 
 def _bwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, g_ref,
@@ -173,7 +231,8 @@ def _bwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, g_ref,
         col = col_ref[0, j, :, :]                  # [ch, CE]
         ca, cb, cc = rec[2][:, None], rec[3][:, None], rec[4][:, None]
 
-        alpha, dx, dy, sigma, valid, raw = _chunk_alpha(rec, live, px, py)
+        dx, dy, sigma, expneg = _chunk_geom(rec, px, py)
+        alpha, valid, raw = _chunk_alpha_of(rec[5], expneg, sigma, live)
         prefix, total = _excl_prefix_prod(1.0 - alpha, ch)
         T_i = prefix * trans[...]                  # [ch, P]
         w = alpha * T_i
@@ -189,9 +248,9 @@ def _bwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, g_ref,
         gate = valid & (raw < ALPHA_MAX)
         g_alpha = jnp.where(gate, g_alpha, 0.0)
 
-        g_sigma = -alpha * g_alpha                 # [CH, P]
+        g_sigma = -alpha * g_alpha                 # [ch, P]
         # Reduce the six per-Gaussian integrals over pixels with ONE MXU
-        # matvec ([6CH, P] @ [P, 1]) — lane-axis jnp.sum reductions are
+        # matvec ([6ch, P] @ [P, 1]) — lane-axis jnp.sum reductions are
         # ~15x slower on this core (measured 67ms -> <5ms).
         panels = jnp.concatenate([
             g_sigma * (ca * dx + cb * dy),
@@ -199,7 +258,7 @@ def _bwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, g_ref,
             g_sigma * 0.5 * dx * dx,
             g_sigma * dx * dy,
             g_sigma * 0.5 * dy * dy,
-            jnp.where(gate, jnp.exp(-sigma) * g_alpha, 0.0),
+            jnp.where(gate, expneg * g_alpha, 0.0),
         ], axis=0)                                 # [6ch, P]
         red = jax.lax.dot_general(
             panels, jnp.ones((panels.shape[1], 1), jnp.float32),
@@ -220,22 +279,127 @@ def _bwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, g_ref,
     jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
 
 
+def _bwd_kernel_sub(ntx, ch, count_ref, rec_ref, col_ref, out_ref, out2_ref,
+                    g_ref, g2_ref, grec_ref, gcol_ref, trans, gacc, gdt,
+                    trans2, gacc2, gdt2):
+    """Fused backward: replays BOTH transmittance chains; the subset
+    chain's opacity gradient lands in record row 6 and its sigma
+    gradient folds into the shared conic/mean rows."""
+    n_chunks = rec_ref.shape[1]
+    count = count_ref[pl.program_id(0), 0]
+    px, py = _tile_pixel_grid(ntx)
+
+    g = g_ref[0, :, :]                    # [P, CE]
+    g2 = g2_ref[0, :, :]                  # [1, P]
+    out_tot = out_ref[0, :, :]            # [P, CE]
+    gdt[...] = jax.lax.dot_general(
+        g * out_tot, jnp.ones((g.shape[1], 1), jnp.float32),
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(1, -1)
+    gdt2[...] = g2 * out2_ref[0, :, :]    # [1, P]
+
+    trans[...] = jnp.ones_like(trans)
+    trans2[...] = jnp.ones_like(trans2)
+    gacc[...] = jnp.zeros_like(gacc)
+    gacc2[...] = jnp.zeros_like(gacc2)
+    grec_ref[...] = jnp.zeros_like(grec_ref)
+    gcol_ref[...] = jnp.zeros_like(gcol_ref)
+
+    def cond(state):
+        j, tmax = state
+        return (j < n_chunks) & (j * ch < count) & (tmax > TRANS_EPS)
+
+    def body(state):
+        j, _ = state
+        s = j * ch
+        live = (jax.lax.broadcasted_iota(jnp.int32, (ch, 1), 0)[:, 0] + s) < count
+        rec = rec_ref[0, j, :, :]                  # [R, ch]
+        col = col_ref[0, j, :, :]                  # [ch, CE]
+        ca, cb, cc = rec[2][:, None], rec[3][:, None], rec[4][:, None]
+
+        dx, dy, sigma, expneg = _chunk_geom(rec, px, py)
+
+        # main chain
+        alpha, valid, raw = _chunk_alpha_of(rec[5], expneg, sigma, live)
+        prefix, total = _excl_prefix_prod(1.0 - alpha, ch)
+        T_i = prefix * trans[...]
+        w = alpha * T_i
+        cg = jax.lax.dot_general(col, g, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        u = w * cg
+        gacc_incl = _incl_prefix_sum(u, ch) + gacc[...]
+        s_term = (gdt[...] - gacc_incl) / jnp.maximum(1.0 - alpha, 1e-6)
+        g_alpha = T_i * cg - s_term
+        gate = valid & (raw < ALPHA_MAX)
+        g_alpha = jnp.where(gate, g_alpha, 0.0)
+        g_sigma = -alpha * g_alpha
+        new_trans = trans[...] * total
+        trans[...] = new_trans
+        gacc[...] = gacc_incl[ch - 1][None]
+
+        # fused subset chain
+        alpha_s, valid_s, raw_s = _chunk_alpha_of(rec[6], expneg, sigma,
+                                                  live)
+        prefix_s, total_s = _excl_prefix_prod(1.0 - alpha_s, ch)
+        T_s = prefix_s * trans2[...]
+        w_s = alpha_s * T_s
+        u_s = w_s * g2
+        gacc2_incl = _incl_prefix_sum(u_s, ch) + gacc2[...]
+        s_term_s = (gdt2[...] - gacc2_incl) / jnp.maximum(
+            1.0 - alpha_s, 1e-6)
+        g_alpha_s = T_s * g2 - s_term_s
+        gate_s = valid_s & (raw_s < ALPHA_MAX)
+        g_alpha_s = jnp.where(gate_s, g_alpha_s, 0.0)
+        g_sigma = g_sigma - alpha_s * g_alpha_s
+        new_t2 = trans2[...] * total_s
+        trans2[...] = new_t2
+        gacc2[...] = gacc2_incl[ch - 1][None]
+
+        panels = jnp.concatenate([
+            g_sigma * (ca * dx + cb * dy),
+            g_sigma * (cc * dy + cb * dx),
+            g_sigma * 0.5 * dx * dx,
+            g_sigma * dx * dy,
+            g_sigma * 0.5 * dy * dy,
+            jnp.where(gate, expneg * g_alpha, 0.0),
+            jnp.where(gate_s, expneg * g_alpha_s, 0.0),
+        ], axis=0)                                 # [7ch, P]
+        red = jax.lax.dot_general(
+            panels, jnp.ones((panels.shape[1], 1), jnp.float32),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [7ch, 1]
+        grec = jnp.concatenate(
+            [red.reshape(7, ch), jnp.zeros((1, ch), jnp.float32)], axis=0)
+        grec_ref[0, j, :, :] = grec                # [R, ch]
+        gcol_ref[0, j, :, :] = jax.lax.dot_general(
+            w, g, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        return j + 1, jnp.maximum(jnp.max(new_trans), jnp.max(new_t2))
+
+    jax.lax.while_loop(cond, body, (0, jnp.float32(1.0)))
+
+
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
 def _pack_recs(bins: TileBins, splats: ProjectedSplats,
-               opacities: jnp.ndarray, ch: int) -> jnp.ndarray:
+               opacities: jnp.ndarray, ch: int,
+               sub_opacities: jnp.ndarray | None = None) -> jnp.ndarray:
     """Gather per-tile records into the packed [T, n_chunks, R, ch]
     layout (chunk axis leading so kernels index it dynamically without
-    lane-dim slicing)."""
+    lane-dim slicing). Row 6 carries the fused subset-pass opacities
+    when given (one shared gather serves both compositing chains)."""
     ids = bins.gauss_ids                     # [T, K]
     T, K = ids.shape
     rows = jnp.stack([
         splats.means2d[:, 0], splats.means2d[:, 1],
         splats.conics[:, 0], splats.conics[:, 1], splats.conics[:, 2],
         opacities,
-        jnp.zeros_like(opacities), jnp.zeros_like(opacities),
+        (jnp.zeros_like(opacities) if sub_opacities is None
+         else sub_opacities),
+        jnp.zeros_like(opacities),
     ], axis=0)                               # [R, N]
     packed = rows[:, ids]                    # [R, T, K]
     packed = packed.reshape(R, T, K // ch, ch).transpose(1, 2, 0, 3)
@@ -306,12 +470,95 @@ def _composite_bwd(n_tiles, K, ntx, ch, res, g):
 _composite_core.defvjp(_composite_fwd, _composite_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _composite_core_sub(n_tiles: int, K: int, ntx: int, ch: int,
+                        recs: jnp.ndarray, colors_t: jnp.ndarray,
+                        counts: jnp.ndarray):
+    return _composite_sub_fwd_call(n_tiles, K, ntx, ch, recs, colors_t,
+                                   counts)
+
+
+def _composite_sub_fwd_call(n_tiles, K, ntx, ch, recs, colors_t, counts):
+    CE = colors_t.shape[-1]
+    NC = K // ch
+    out, out2 = pl.pallas_call(
+        functools.partial(_fwd_kernel_sub, ntx, ch),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NC, R, ch), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NC, ch, CE), lambda t: (t, 0, 0, 0)),
+        ],
+        out_specs=(pl.BlockSpec((1, P, CE), lambda t: (t, 0, 0)),
+                   pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, P, CE), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, 1, P), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((P, CE), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32)],
+        interpret=_interpret(),
+    )(counts[:, None], recs, colors_t)
+    return out, out2
+
+
+def _composite_sub_fwd(n_tiles, K, ntx, ch, recs, colors_t, counts):
+    out, out2 = _composite_sub_fwd_call(n_tiles, K, ntx, ch, recs,
+                                        colors_t, counts)
+    return (out, out2), (recs, colors_t, counts, out, out2)
+
+
+def _composite_sub_bwd(n_tiles, K, ntx, ch, res, gs):
+    recs, colors_t, counts, out, out2 = res
+    g, g2 = gs
+    CE = colors_t.shape[-1]
+    NC = K // ch
+    pspec = pl.BlockSpec((1, P, CE), lambda t: (t, 0, 0))
+    p2spec = pl.BlockSpec((1, 1, P), lambda t: (t, 0, 0))
+    grec, gcol = pl.pallas_call(
+        functools.partial(_bwd_kernel_sub, ntx, ch),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, NC, R, ch), lambda t: (t, 0, 0, 0)),
+            pl.BlockSpec((1, NC, ch, CE), lambda t: (t, 0, 0, 0)),
+            pspec, p2spec, pspec, p2spec,
+        ],
+        out_specs=(pl.BlockSpec((1, NC, R, ch), lambda t: (t, 0, 0, 0)),
+                   pl.BlockSpec((1, NC, ch, CE), lambda t: (t, 0, 0, 0))),
+        out_shape=(jax.ShapeDtypeStruct((n_tiles, NC, R, ch), jnp.float32),
+                   jax.ShapeDtypeStruct((n_tiles, NC, ch, CE), jnp.float32)),
+        scratch_shapes=[pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32),
+                        pltpu.VMEM((1, P), jnp.float32)],
+        interpret=_interpret(),
+    )(counts[:, None], recs, colors_t, out, out2, g, g2)
+    # rows 0, 1 carry the -(dsigma/d dx) sign; row 6 is the fused
+    # subset-pass opacity gradient
+    sign = jnp.asarray([-1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0])
+    grec = grec * sign[None, None, :, None]
+    return grec, gcol, None
+
+
+_composite_core_sub.defvjp(_composite_sub_fwd, _composite_sub_bwd)
+
+
 def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
                            colors: jnp.ndarray, opacities: jnp.ndarray,
                            width: int, height: int,
                            background: jnp.ndarray | None = None,
-                           tile_chunk: int = 0):
-    """Drop-in replacement for `raster_jax.composite_tiles`."""
+                           tile_chunk: int = 0,
+                           sub_opacities: jnp.ndarray | None = None):
+    """Drop-in replacement for `raster_jax.composite_tiles`.
+
+    ``sub_opacities`` [N] runs a FUSED second transmittance chain (the
+    subset-masked alpha pass) inside the same kernel launch; its alpha
+    map is returned as a fourth output. One pack/gather serves both
+    chains and the backward replays them together.
+    """
     ntx, nty = int(bins.n_tiles_x), int(bins.n_tiles_y)
     n_tiles = ntx * nty
     K = bins.gauss_ids.shape[1]
@@ -319,14 +566,21 @@ def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
     ch = _pick_chunk(K)
     N, C = colors.shape
     dt = colors.dtype
+    has_sub = sub_opacities is not None
 
     colors_ext = jnp.concatenate(
         [colors, splats.depths[:, None], jnp.ones((N, 1), dt)], axis=1)
     CE = C + 2
-    recs = _pack_recs(bins, splats, opacities, ch)  # [T, NC, R, ch]
+    recs = _pack_recs(bins, splats, opacities, ch,
+                      sub_opacities)                # [T, NC, R, ch]
     colors_t = colors_ext[bins.gauss_ids].reshape(
         n_tiles, K // ch, ch, CE)                   # [T, NC, ch, CE]
-    out = _composite_core(n_tiles, K, ntx, ch, recs, colors_t, bins.counts)
+    if has_sub:
+        out, out2 = _composite_core_sub(n_tiles, K, ntx, ch, recs,
+                                        colors_t, bins.counts)
+    else:
+        out = _composite_core(n_tiles, K, ntx, ch, recs, colors_t,
+                              bins.counts)
 
     full = out.reshape(nty, ntx, TILE, TILE, CE)
     full = full.transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, CE)
@@ -340,4 +594,9 @@ def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
     if background is not None:
         image = image + background[None, None, :] * (1.0 - alpha[..., None])
     exp_depth = depth_acc / jnp.maximum(alpha, 1e-10)
+    if has_sub:
+        sub = out2.reshape(nty, ntx, TILE, TILE)
+        sub = sub.transpose(0, 2, 1, 3).reshape(nty * TILE, ntx * TILE)
+        sub_alpha = jnp.minimum(sub[:height, :width], 1.0)
+        return image, alpha, exp_depth, sub_alpha
     return image, alpha, exp_depth

@@ -97,20 +97,38 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
     else:
         composite = raster_jax.composite_tiles
 
-    def one_pass(mask):
+    def one_pass(mask, sub_mask=None):
+        if sub_mask is not None and backend == "pallas":
+            from mobgs_tpu.ops import pallas_raster
+            return pallas_raster.composite_tiles_pallas(
+                bins, splats, colors, opacities * mask, width, height,
+                background=background, tile_chunk=config.tile_chunk,
+                sub_opacities=opacities * sub_mask)
         return composite(bins, splats, colors, opacities * mask,
                          width, height, background=background,
                          tile_chunk=config.tile_chunk)
 
     # static unrolled loop over passes (pass count is tiny and static;
-    # avoids vmap-of-pallas_call batching rules)
-    outs = [one_pass(pass_masks[i]) for i in range(pass_masks.shape[0])]
+    # avoids vmap-of-pallas_call batching rules). The FIRST alpha-only
+    # subset mask fuses into the main pass's kernel on the pallas
+    # backend (second transmittance chain, shared pack + replay).
+    n_alpha = 0 if alpha_masks is None else alpha_masks.shape[0]
+    fuse_first = n_alpha > 0 and backend == "pallas"
+    sub_list = []
+    outs = []
+    for i in range(pass_masks.shape[0]):
+        if i == 0 and fuse_first:
+            o = one_pass(pass_masks[0], alpha_masks[0])
+            sub_list.append(o[3])
+            outs.append(o[:3])
+        else:
+            outs.append(one_pass(pass_masks[i]))
     images = jnp.stack([o[0] for o in outs])
     alphas = jnp.stack([o[1] for o in outs])
     depths = jnp.stack([o[2] for o in outs])
 
     sub_alphas = None
-    if alpha_masks is not None:
+    if n_alpha:
         zero_colors = jnp.zeros((means.shape[0], 0), colors.dtype)
 
         def alpha_pass(mask):
@@ -120,8 +138,9 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
                                 tile_chunk=config.tile_chunk)
             return a
 
-        sub_alphas = jnp.stack([alpha_pass(alpha_masks[i])
-                                for i in range(alpha_masks.shape[0])])
+        sub_list += [alpha_pass(alpha_masks[i])
+                     for i in range(1 if fuse_first else 0, n_alpha)]
+        sub_alphas = jnp.stack(sub_list)
     return RasterOut(images=images, alphas=alphas, depths=depths,
                      means2d=splats.means2d, radii=splats.radii,
                      sub_alphas=sub_alphas)

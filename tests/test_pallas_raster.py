@@ -79,3 +79,47 @@ def test_pallas_vmap_over_passes():
     solo = jnp.stack([one(masks[0]), one(masks[1])])
     np.testing.assert_allclose(np.asarray(batched), np.asarray(solo),
                                atol=1e-5)
+
+
+def test_fused_sub_chain_matches_separate_passes():
+    """The fused subset-alpha chain (sub_opacities, record row 6) must
+    reproduce a standalone masked compositing pass — values AND grads."""
+    splats, bins, colors, opac = setup(n=200, seed=3)
+    n = opac.shape[0]
+    sub_mask = (jnp.arange(n) % 3 == 0).astype(jnp.float32)
+    bg = jnp.asarray([0.05, 0.1, 0.15])
+
+    img_f, a_f, d_f, sub_f = pallas_raster.composite_tiles_pallas(
+        bins, splats, colors, opac, W, H, background=bg,
+        sub_opacities=opac * sub_mask)
+    img_s, a_s, d_s = pallas_raster.composite_tiles_pallas(
+        bins, splats, colors, opac, W, H, background=bg)
+    _, a_sub_ref, _ = pallas_raster.composite_tiles_pallas(
+        bins, splats, jnp.zeros((n, 0)), opac * sub_mask, W, H)
+
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_s),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(a_f), np.asarray(a_s), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sub_f), np.asarray(a_sub_ref),
+                               atol=2e-5)
+
+    def loss_fused(m2d, op):
+        s2 = splats._replace(means2d=m2d)
+        img, a, d, sub = pallas_raster.composite_tiles_pallas(
+            bins, s2, colors, op, W, H, background=bg,
+            sub_opacities=op * sub_mask)
+        return jnp.mean(img ** 2) + 0.3 * jnp.mean(sub)
+
+    def loss_sep(m2d, op):
+        s2 = splats._replace(means2d=m2d)
+        img, a, d = pallas_raster.composite_tiles_pallas(
+            bins, s2, colors, op, W, H, background=bg)
+        _, sub, _ = pallas_raster.composite_tiles_pallas(
+            bins, s2, jnp.zeros((n, 0)), op * sub_mask, W, H)
+        return jnp.mean(img ** 2) + 0.3 * jnp.mean(sub)
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(splats.means2d, opac)
+    gs = jax.grad(loss_sep, argnums=(0, 1))(splats.means2d, opac)
+    for a, b, nm in zip(gf, gs, ["means2d", "opac"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4,
+                                   rtol=2e-3, err_msg=nm)
