@@ -155,8 +155,12 @@ class BlceParams:
 @dataclass
 class TPUParams:
     """TPU-build-specific knobs (no reference analogue)."""
-    tiles_per_gauss: int = 36
-    max_per_tile: int = 512
+    # protocol-tuned: all BASELINE.md perf/quality validation runs use
+    # these (9 = 3x3-tile bbox budget; larger splats radius-clamp).
+    # tiles_per_gauss=36 costs ~4x in binning with no measured PSNR
+    # gain at DyBluRF scales.
+    tiles_per_gauss: int = 9
+    max_per_tile: int = 384
     tile_chunk: int = 36
     capacity_mult: float = 6.0   # Gaussian slot capacity = mult * init pts
     mesh_shape: tuple = ()       # e.g. (8,) for 8-way Gaussian sharding

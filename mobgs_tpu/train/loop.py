@@ -58,6 +58,33 @@ def make_batch(data: SceneData, ids: np.ndarray) -> Batch:
     )
 
 
+class DeviceBatcher:
+    """Device-resident batch source: uploads every view ONCE and
+    gathers batches on-device. The per-iteration host->device transfer
+    (a [B,H,W,3] image + priors each step, ~2.5 MB over the remote
+    tunnel) otherwise dominates the loop at protocol shapes — the
+    reference's DataLoader equivalent (`scene/dataset.py`) pins tensors
+    on the GPU the same way."""
+
+    def __init__(self, data: SceneData):
+        self.w2c = jnp.asarray(data.w2c)
+        self.K = jnp.asarray(data.K)
+        self.time = jnp.asarray(data.time)
+        self.images = jnp.asarray(data.images)
+        self.depths = jnp.asarray(data.depths)
+        self.blur_feats = jnp.asarray(data.blur_feats)
+        self._gather = jax.jit(self._gather_impl)
+
+    def _gather_impl(self, ids):
+        return Batch(view_idx=ids, w2c=self.w2c[ids], K=self.K[ids],
+                     time=self.time[ids], image=self.images[ids],
+                     depth=self.depths[ids],
+                     blur_feat=self.blur_feats[ids])
+
+    def __call__(self, ids: np.ndarray) -> Batch:
+        return self._gather(jnp.asarray(ids, jnp.int32))
+
+
 def scene_extent_of(points: np.ndarray) -> float:
     """Point-cloud bounding-sphere extent (fallback when no cameras)."""
     c = points.mean(0)
@@ -96,6 +123,7 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
     reset_fn = jax.jit(D.reset_opacity)
 
     sampler = BatchSampler(V, opt_cfg.batch_size, seed)
+    batcher = DeviceBatcher(data)
     rng = jax.random.PRNGKey(seed)
     flag_s, flag_d = 0, 0
     history = []
@@ -107,7 +135,7 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
             viewer.poll(lambda msg: viewer_render(ts, msg))
 
         ids = sampler.next_ids()
-        batch = make_batch(data, ids)
+        batch = batcher(ids)
         ts, metrics = step_fn(ts, batch)
 
         # exposure re-estimation every 10 iters, for every batch view in
