@@ -116,35 +116,19 @@ def bin_gaussians(splats: ProjectedSplats, width: int, height: int,
 def _tile_slices(gidx_sorted: jnp.ndarray, starts: jnp.ndarray,
                  n_tiles: int, K: int) -> jnp.ndarray:
     """Read each tile's K front-most entries out of the sorted entry
-    array. Per tile this is a CONTIGUOUS window [start, start+K), but a
-    generic gather treats the T*K indices as random (~2 ms/pass at
-    protocol scale); on TPU a tiny Pallas kernel issues one dynamic-
-    offset DMA per tile instead. Entries past a tile's own segment are
-    garbage masked by ``counts`` downstream (same as the reference
-    gsplat range lists, which also only read `counts` entries)."""
+    array via one XLA gather (per tile a contiguous window
+    [start, start+K)). Entries past a tile's own segment are garbage
+    masked by ``counts`` downstream (same as the reference gsplat range
+    lists, which also only read `counts` entries).
+
+    A Pallas per-tile dynamic-offset DMA was tried here and REVERTED
+    twice: Mosaic rejects ANY-space inputs under vmap (the round-2
+    bench crash via data/synthetic.py's batched renderer) and requires
+    window starts aligned to the 1024-element VMEM tiling, which
+    per-tile segment starts structurally are not. The XLA gather is
+    ~2 ms/pass at protocol scale, is vmap-safe by construction, and is
+    the path behind every verified bench number."""
     M = gidx_sorted.shape[0]
-    if jax.default_backend() != "tpu":
-        k = jnp.arange(K, dtype=jnp.int32)[None, :]
-        idx = jnp.minimum(starts[:, None] + k, M - 1)
-        return gidx_sorted[idx]
-
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    def kernel(starts_ref, src_ref, out_ref, sem):
-        t = pl.program_id(0)
-        s = jnp.minimum(starts_ref[t, 0], M - K)
-        copy = pltpu.make_async_copy(src_ref.at[pl.ds(s, K)],
-                                     out_ref.at[0], sem)
-        copy.start()
-        copy.wait()
-
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((1, K), lambda t: (t, 0)),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, K), jnp.int32),
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
-    )(starts[:, None], gidx_sorted)
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]
+    idx = jnp.minimum(starts[:, None] + k, M - 1)
+    return gidx_sorted[idx]
