@@ -42,6 +42,9 @@ def main(argv=None):
                    help="seed-sweep mode: truncate at 5000 iters and append "
                         "best PSNR to seed.txt (reference train.py:290,1008)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--eval_tto", action="store_true",
+                   help="run 5 TTO steps in the in-training eval (the "
+                        "reference renders aligned test cams with no TTO)")
     args = p.parse_args(argv)
 
     from mobgs_tpu.config import Config, load_scene_config
@@ -163,7 +166,9 @@ def main(argv=None):
         from mobgs_tpu.io.checkpoint import load_train_state
         ts = load_train_state(args.start_checkpoint, ts)
         print(f"resumed from {args.start_checkpoint} @ step {int(ts.step)}")
-    extent = L.scene_extent_from_cameras(data.w2c)
+    extent = getattr(data, "extent", 0.0)  # loader-pinned (panoptic)
+    if extent <= 0.0:
+        extent = L.scene_extent_from_cameras(data.w2c)
     if extent < 1e-6:  # degenerate (static camera rig)
         extent = L.scene_extent_of(np.asarray(s_pts))
 
@@ -190,9 +195,15 @@ def main(argv=None):
         test_w2c = align_test_poses(
             ts_now.blce, jnp.asarray(data.w2c), jnp.asarray(data.test_w2c),
             jnp.asarray(data.blur_feats), num_warp=cfg.blce.num_warp)
+        # The reference's in-training eval renders the aligned test cams
+        # directly (train.py:746-766) — TTO belongs to the final eval CLI
+        # only. steps=0 makes the TTO harness a pure render, so the
+        # best-PSNR checkpoint criterion matches upstream; --eval_tto
+        # restores the round-2 behavior (5 refinement steps).
         tto = make_tto(ts_now.stat, ts_now.dyn, ts_now.sandwich,
                        data.width, data.height, data.max_time,
-                       steps=5, raster_cfg=raster_cfg)
+                       steps=5 if args.eval_tto else 0,
+                       raster_cfg=raster_cfg)
         V = data.test_w2c.shape[0]
         res = tto(test_w2c, jnp.asarray(data.K),
                   jnp.asarray(data.time), jnp.asarray(data.test_images),
@@ -220,7 +231,15 @@ def main(argv=None):
                 TC.save_deformation_pth(d, ts_now.deform, cfg.hidden,
                                         int(ts_now.dyn.num_live()))
         except ImportError:
-            pass  # torch not in the environment; PLYs remain complete
+            # torch not in the environment: persist BLCE in the legacy
+            # npz layout (eval_cli.py:71-77 still reads it) so test-pose
+            # alignment never silently degrades.
+            blce_np = {f: np.asarray(getattr(ts_now.blce.params, f))
+                       for f in type(ts_now.blce.params)._fields}
+            blce_np["exposure_expo"] = np.asarray(ts_now.blce.exposure_expo)
+            np.savez(os.path.join(d, "blce.npz"), **blce_np)
+            print("[warn] torch unavailable: wrote legacy blce.npz "
+                  "(deformation.pth skipped)")
         from mobgs_tpu.io.checkpoint import save_train_state
         save_train_state(os.path.join(d, "train_state.npz"), ts_now)
 

@@ -83,4 +83,5 @@ def load_panoptic_scene(path: str, max_views_per_frame: int = 0,
         width=w, height=h, max_time=1.0,
         test_w2c=t_w2cs, test_images=t_imgs,
         points_xyz=pc[:, :3].astype(np.float32),
-        points_rgb=pc[:, 3:6].astype(np.float32))
+        points_rgb=pc[:, 3:6].astype(np.float32),
+        extent=radius)

@@ -43,6 +43,10 @@ class SceneData(NamedTuple):
     # seeds via the warm stage instead (stereo path)
     points_xyz: np.ndarray | None = None
     points_rgb: np.ndarray | None = None
+    # loader-provided scene extent (spatial_lr_scale); 0.0 = derive from
+    # cameras/points in the train CLI. PanopticSports pins it to 1.1 x
+    # the frame-0 camera spread (reference dataset_readers.py:679-680).
+    extent: float = 0.0
 
 
 def _orbit_w2c(t: float, radius: float = 8.0, wobble: float = 0.25):

@@ -101,6 +101,7 @@ class RenderOut(NamedTuple):
     means2d: jnp.ndarray     # [N, 2]
     radii: jnp.ndarray       # [N]
     flow: jnp.ndarray | None  # [H, W, F] optional extra-channel renders
+    tile_max: jnp.ndarray | int = 0  # pre-clamp peak tile occupancy
 
 
 def render_view(stat: G.GaussianState, dyn: G.GaussianState,
@@ -172,7 +173,8 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
                      d_image=d_image, d_depth=d_depth, d_alpha=d_alpha,
                      s_image=s_image, s_alpha=s_alpha,
                      feat=out.images[0, ..., :9],
-                     means2d=out.means2d, radii=out.radii, flow=flow)
+                     means2d=out.means2d, radii=out.radii, flow=flow,
+                     tile_max=out.tile_max)
 
 
 def project_combined(stat: G.GaussianState, dyn: G.GaussianState, cam: Camera,

@@ -42,6 +42,7 @@ class RasterOut(NamedTuple):
     means2d: jnp.ndarray    # [N, 2] pixel-space projected centres
     radii: jnp.ndarray      # [N] int32 (0 = culled)
     sub_alphas: jnp.ndarray | None = None  # [P2, H, W] alpha-only passes
+    tile_max: jnp.ndarray | int = 0  # pre-clamp peak tile occupancy
 
 
 def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
@@ -143,7 +144,7 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
         sub_alphas = jnp.stack(sub_list)
     return RasterOut(images=images, alphas=alphas, depths=depths,
                      means2d=splats.means2d, radii=splats.radii,
-                     sub_alphas=sub_alphas)
+                     sub_alphas=sub_alphas, tile_max=bins.max_count)
 
 
 def project_means2d(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,

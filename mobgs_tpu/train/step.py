@@ -74,6 +74,11 @@ class Metrics(NamedTuple):
     mask: jnp.ndarray
     flow: jnp.ndarray
     psnr: jnp.ndarray
+    # peak pre-clamp tile occupancy across every geometry evaluation of
+    # the iteration: > max_per_tile means the binning clamp dropped the
+    # farthest entries somewhere (observability for the truncation
+    # approximation; logged into history.json by the train loop)
+    tile_max: jnp.ndarray | int = 0
 
 
 def init_train_state(stat, dyn, sandwich, blce_state,
@@ -93,16 +98,27 @@ def init_train_state(stat, dyn, sandwich, blce_state,
 def make_forward(opt_cfg, width: int, height: int,
                  max_time: float, num_warp: int = 9,
                  raster_cfg: RasterConfig = RasterConfig(),
-                 use_blce: bool = True):
+                 use_blce: bool = True,
+                 with_latents: bool = True,
+                 with_exposure_delta: bool = True):
     """Build the (un-jitted) forward loss over a camera batch — the
     differentiated core of the train step, also used standalone by the
-    stage profiler (scripts/profile_step.py)."""
+    stage profiler (scripts/profile_step.py).
+
+    Args:
+      with_latents: False before ``start_warp`` — the reference skips
+        blur synthesis entirely (train.py:471: no warped cams, no flow
+        loss, no BLCE step; pred = the mid render alone).
+      with_exposure_delta: False before ``start_warp_dynamic`` — latent
+        renders use the warped poses but delta_exposure = 0
+        (train.py:503-507).
+    """
     E = num_warp
     half = E // 2
     bg3 = jnp.zeros(3, jnp.float32)
     lambda_dssim = opt_cfg.lambda_dssim
     lambda_flow = opt_cfg.lambda_flow_loss
-    compute_flow = lambda_flow > 0
+    compute_flow = lambda_flow > 0 and with_latents
 
     def forward(stat_diff, dyn_diff, sandwich, blce_params, offsets,
                 stat_aux, dyn_aux, expo_state, batch: Batch):
@@ -115,7 +131,7 @@ def make_forward(opt_cfg, width: int, height: int,
             cam = Camera(w2c=w2c, K=K, time=time)
 
             # ---- BLCE latent poses (blce.py:374-424)
-            if use_blce:
+            if use_blce and with_latents:
                 c2w = se3.view_to_world(w2c)
                 lat_c2w, expo = B.latent_poses(blce_state, c2w, blur_feat,
                                                view_idx, E)
@@ -168,10 +184,21 @@ def make_forward(opt_cfg, width: int, height: int,
                 out = R.render_view(stat, dyn, sandwich, cam_e, width,
                                     height, bg3, max_time, d_expo,
                                     config=raster_cfg)
-                return out.image
+                return out.image, out.tile_max
 
-            lat_imgs = [latent_render(lat_w2c[e], expo[e]) for e in other]
-            pred_image = (sum(lat_imgs) + mid.image) / E + 1e-10
+            if with_latents:
+                lat_outs = [latent_render(
+                    lat_w2c[e], expo[e] if with_exposure_delta else None)
+                    for e in other]
+                lat_imgs = [o[0] for o in lat_outs]
+                tile_max = jnp.maximum(
+                    jnp.asarray(mid.tile_max),
+                    jnp.max(jnp.stack([jnp.asarray(o[1]) for o in lat_outs])))
+                pred_image = (sum(lat_imgs) + mid.image) / E + 1e-10
+            else:
+                # pre-start_warp: the prediction IS the mid render
+                tile_max = jnp.asarray(mid.tile_max)
+                pred_image = mid.image
 
             # ---- exposure flow consistency (train.py:564-584). The
             # exposure-time passes double as the latent image/alpha
@@ -190,7 +217,7 @@ def make_forward(opt_cfg, width: int, height: int,
                                         get_dynamic=True, extra_colors=fl,
                                         subset_alpha_only=True,
                                         config=raster_cfg)
-                    return out.image, out.d_alpha, out.flow
+                    return out.image, out.d_alpha, out.flow, out.tile_max
 
                 # static unroll over the E-1 exposure passes; slot the
                 # mid render into position `half`
@@ -201,7 +228,8 @@ def make_forward(opt_cfg, width: int, height: int,
                         lat_a_l.append(mid.d_alpha)
                         e2m_l.append(jnp.zeros((height, width, 2)))
                     else:
-                        fi, fa, fe = flow_exp(ratios[e], flow2d[e])
+                        fi, fa, fe, ftm = flow_exp(ratios[e], flow2d[e])
+                        tile_max = jnp.maximum(tile_max, jnp.asarray(ftm))
                         lat_f_l.append(fi)
                         lat_a_l.append(fa)
                         e2m_l.append(fe)
@@ -216,7 +244,7 @@ def make_forward(opt_cfg, width: int, height: int,
                 flow_l = jnp.zeros(())
 
             return dict(pred=pred_image, depth=mid.depth, d_alpha=mid.d_alpha,
-                        radii=mid.radii, flow_l=flow_l)
+                        radii=mid.radii, flow_l=flow_l, tile_max=tile_max)
 
         # static unroll over the camera batch (B is 2 in the protocol;
         # batched gather/scatter under vmap costs ~3x on TPU)
@@ -243,7 +271,8 @@ def make_forward(opt_cfg, width: int, height: int,
 
         psnr_v = jnp.mean(psnr(jax.lax.stop_gradient(pred), gt))
         aux = dict(radii=outs["radii"], photo=photo, depth_l1=depth_l1,
-                   mask=mask_l, flow=flow_l, psnr=psnr_v)
+                   mask=mask_l, flow=flow_l, psnr=psnr_v,
+                   tile_max=jnp.max(outs["tile_max"]))
         return total, aux
 
     return forward
@@ -253,10 +282,13 @@ def make_train_step(opt_cfg, width: int, height: int,
                     max_time: float, num_warp: int = 9,
                     raster_cfg: RasterConfig = RasterConfig(),
                     spatial_lr_scale: float = 5.0,
-                    use_blce: bool = True):
+                    use_blce: bool = True,
+                    with_latents: bool = True,
+                    with_exposure_delta: bool = True):
     """Build the jitted per-iteration update."""
     forward = make_forward(opt_cfg, width, height, max_time, num_warp,
-                           raster_cfg, use_blce)
+                           raster_cfg, use_blce, with_latents,
+                           with_exposure_delta)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, batch: Batch):
@@ -319,7 +351,8 @@ def make_train_step(opt_cfg, width: int, height: int,
             step=step, deform=ts.deform)
         metrics = Metrics(loss=total, photo=aux["photo"],
                           depth_l1=aux["depth_l1"], mask=aux["mask"],
-                          flow=aux["flow"], psnr=aux["psnr"])
+                          flow=aux["flow"], psnr=aux["psnr"],
+                          tile_max=aux["tile_max"])
         return new_ts, metrics
 
     return train_step

@@ -123,7 +123,12 @@ def main():
            splats.conics, splats.depths, geoms.colors, geoms.opacity)
 
     # --- binning sub-stages, x NGEOM
-    from mobgs_tpu.ops.tiles import RANK_BITS, TILE
+    from mobgs_tpu.ops.tiles import TILE
+
+    # This sub-stage deliberately re-times the REMOVED rank-precompute
+    # design (tiles.py now fuses quantized depth bits into the sort key);
+    # the old key layout reserved 17 bits for the rank.
+    RANK_BITS = 17
 
     def bin_parts(sp):
         N = sp.means2d.shape[1]
