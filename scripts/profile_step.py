@@ -195,9 +195,6 @@ def main():
     sampler = L.BatchSampler(F, 2, seed=0)
     batch = L.make_batch(data, sampler.next_ids())
 
-    def step_nodonate(ts_, b_):
-        return step_fn(ts_, jax.tree.map(jnp.copy, b_))
-
     ts2, m = step_fn(ts, batch)
     jax.block_until_ready(m.loss)
     t0 = time.time()
@@ -205,7 +202,64 @@ def main():
     for _ in range(reps):
         ts2, m = step_fn(ts2, batch)
     jax.block_until_ready(m.loss)
-    print(f"{'FULL train step':38s} {(time.time()-t0)/reps*1000:9.2f} ms")
+    print(f"{'FULL train step (flow OFF)':38s} {(time.time()-t0)/reps*1000:9.2f} ms")
+
+    if not os.environ.get("PROFILE_FLOW"):
+        return
+
+    # --- flow-ON attribution (the 4/6-scene protocol, VERDICT item 3)
+    from mobgs_tpu.train import losses
+    from mobgs_tpu.train.step import make_forward
+
+    # flow_warp_loss alone, fwd+bwd, x B=2 views at protocol shapes
+    E = 9
+    rngk = jax.random.PRNGKey(3)
+    imgs = jax.random.uniform(rngk, (2, E, H, W, 3))
+    alphas = jnp.full((2, E, H, W), 0.5)
+    coords = jax.random.uniform(rngk, (2, E, H, W, 2)) * W
+
+    def fw_loss(imgs_, alphas_, coords_):
+        tot = 0.0
+        for b in range(2):  # static unroll like the step
+            tot += losses.flow_warp_loss(
+                imgs_[b, 0], imgs_[b], alphas_[b], alphas_[b, 0],
+                coords_[b], coords_[b], W, H)
+        return tot
+
+    fwg_j = jax.jit(jax.grad(fw_loss, argnums=(0, 2)))
+    timeit("flow_warp_loss fwd+bwd x2 views", fwg_j, imgs, alphas, coords)
+
+    # forward-only, flow ON vs step (isolates the bwd share)
+    opt_f = OptimizationParams(iterations=10_000, batch_size=2,
+                               lambda_flow_loss=1e-2)
+    fwd_f = make_forward(opt_f, W, H, data.max_time, num_warp=9,
+                         raster_cfg=CFG)
+    sd, sa = G.split_diff(ts.stat)
+    dd, da = G.split_diff(ts.dyn)
+    Ktot2 = ts.stat.capacity + ts.dyn.capacity
+    offs = jnp.zeros((2, Ktot2, 2), jnp.float32)
+
+    def fwd_only(sd_, dd_, sand_, blce_p, offs_, expo_, b_):
+        return fwd_f(sd_, dd_, sand_, blce_p, offs_, sa, da, expo_, b_)[0]
+
+    fwd_j = jax.jit(fwd_only)
+    timeit("forward only (flow ON)", fwd_j, sd, dd, ts.sandwich,
+           ts.blce.params, offs, ts.blce.exposure_expo, batch, reps=3)
+
+    fwdg_j = jax.jit(jax.grad(fwd_only, argnums=(0, 1, 2, 3, 4)))
+    timeit("forward+grad (flow ON)", fwdg_j, sd, dd, ts.sandwich,
+           ts.blce.params, offs, ts.blce.exposure_expo, batch, reps=3)
+
+    step_f = make_train_step(opt_f, W, H, data.max_time, num_warp=9,
+                             raster_cfg=CFG)
+    ts3 = jax.tree.map(jnp.copy, ts)
+    ts3, m3 = step_f(ts3, batch)
+    jax.block_until_ready(m3.loss)
+    t0 = time.time()
+    for _ in range(reps):
+        ts3, m3 = step_f(ts3, batch)
+    jax.block_until_ready(m3.loss)
+    print(f"{'FULL train step (flow ON)':38s} {(time.time()-t0)/reps*1000:9.2f} ms")
 
 
 if __name__ == "__main__":
