@@ -172,6 +172,26 @@ def main(argv=None):
     if extent < 1e-6:  # degenerate (static camera rig)
         extent = L.scene_extent_of(np.asarray(s_pts))
 
+    # auto-escalate the tile-bbox budget when the INITIAL scale
+    # distribution projects past it (the capped binning is exact for
+    # post-densify scales but clamps out-of-distribution huge splats —
+    # tests/test_truncation.py). Checked once on the first camera; the
+    # tile_max history counter covers drift during training.
+    from mobgs_tpu.data.cameras import Camera
+    from mobgs_tpu.models import render as _render
+    from mobgs_tpu.ops import projection as _prj, tiles as _tiles
+    _cam0 = Camera(w2c=jnp.asarray(data.w2c[0]), K=jnp.asarray(data.K[0]),
+                   time=jnp.asarray(data.time[0]))
+    _g = _render.assemble(ts.stat, ts.dyn, _cam0.time, data.max_time)
+    _sp = _prj.project(_g.means, _g.quats, _g.scales, _cam0.w2c, _cam0.K,
+                       data.width, data.height, eps2d=raster_cfg.eps2d,
+                       near=raster_cfg.near, sigma_cut=raster_cfg.sigma_cut)
+    _suggest = _tiles.suggest_tiles_per_gauss(np.asarray(_sp.radii))
+    if _suggest > raster_cfg.tiles_per_gauss:
+        print(f"[warn] initial splats span past the {raster_cfg.tiles_per_gauss}"
+              f"-tile bbox budget; escalating tiles_per_gauss -> {_suggest}")
+        raster_cfg = raster_cfg._replace(tiles_per_gauss=_suggest)
+
     out_dir = args.model_path or os.path.join("output", args.expname)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "cfg_args.json"), "w") as f:

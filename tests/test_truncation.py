@@ -1,0 +1,104 @@
+"""Adversarial validation of the tile-truncation approximation.
+
+gsplat bins EVERY tile a Gaussian overlaps and composites unbounded
+per-tile lists (reference gaussian_renderer/__init__.py:201-214); the
+TPU build caps the bbox at ``tiles_per_gauss`` and the per-tile list at
+``max_per_tile`` (ops/tiles.py). These tests pin down where that
+approximation is exact and that the escape hatch fires where it is not:
+
+* post-densify scale distributions (scales bounded by the split
+  threshold ``percent_dense * extent``, the bound ``control_gaussians``
+  enforces) render BIT-EXACT under the protocol config (9/384) vs both
+  the high-capacity config (36/1024) and the brute-force oracle — even
+  with worst-case anisotropy and tile occupancy near the clamp;
+* out-of-distribution huge splats degrade, and
+  ``suggest_tiles_per_gauss`` detects them so cli/train auto-escalates
+  the budget at init (measured on the unbounded scene: 9/384 loses
+  ~6 dB vs 36/1024, which itself loses ~56 dB vs a 64-tile budget —
+  BASELINE.md "tile truncation" note).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mobgs_tpu.ops import projection, rasterize, reference_raster, tiles
+from mobgs_tpu.ops.rasterize import RasterConfig
+
+W, H = 160, 96
+EXTENT = 6.0
+
+
+def _scene(n, scale_cap, seed=3, lognorm_mean=-4.0, lognorm_sigma=0.8):
+    rng = np.random.default_rng(seed)
+    means = rng.normal(size=(n, 3)).astype(np.float32) * np.array(
+        [0.8, 0.5, 1.0], np.float32)
+    means[:, 2] += 5.0
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    base = rng.lognormal(mean=lognorm_mean, sigma=lognorm_sigma,
+                         size=(n, 1)).astype(np.float32)
+    aniso = np.exp(rng.uniform(-1.2, 1.2, size=(n, 3))).astype(np.float32)
+    scales = np.clip(base * aniso, 1e-4, scale_cap)
+    opac = rng.uniform(0.1, 0.9, size=(n,)).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    return tuple(map(jnp.asarray, (means, quats, scales, opac, colors)))
+
+
+def _camera():
+    return jnp.eye(4), jnp.asarray(
+        [[120.0, 0, W / 2], [0, 120.0, H / 2], [0, 0, 1]])
+
+
+def _psnr_vs_oracle(scene, cfg):
+    means, quats, scales, opac, colors = scene
+    viewmat, K = _camera()
+    bg = jnp.asarray([0.1, 0.2, 0.3])
+    splats = projection.project(means, quats, scales, viewmat, K, W, H)
+    img_ref, _, _ = reference_raster.composite_bruteforce(
+        splats, colors, opac, W, H, background=bg)
+    out = rasterize.rasterize(means, quats, scales, opac, colors,
+                              viewmat, K, W, H, background=bg, config=cfg)
+    mse = float(jnp.mean((out.images[0] - img_ref) ** 2))
+    return 10 * np.log10(1.0 / max(mse, 1e-12)), splats
+
+
+PROTO = RasterConfig(tiles_per_gauss=9, max_per_tile=384, tile_chunk=36)
+BIG = RasterConfig(tiles_per_gauss=36, max_per_tile=1024, tile_chunk=36)
+
+
+def test_protocol_config_exact_on_post_densify_scales():
+    """Scales at the densify split threshold (0.01 * extent), worst-case
+    anisotropy, 1200 splats piled into the frustum: the protocol 9/384
+    config must be within 0.05 dB of 36/1024 AND of the oracle."""
+    scene = _scene(1200, scale_cap=0.01 * EXTENT)
+    p_proto, splats = _psnr_vs_oracle(scene, PROTO)
+    p_big, _ = _psnr_vs_oracle(scene, BIG)
+    assert p_proto > 60.0, f"protocol config lost fidelity: {p_proto:.2f} dB"
+    assert abs(p_big - p_proto) < 0.05, (p_proto, p_big)
+    # the scene genuinely stresses the clamp region (not a trivial pass)
+    assert np.asarray(splats.radii).max() >= 8
+    # and the budget suggestion agrees the protocol config suffices
+    assert tiles.suggest_tiles_per_gauss(np.asarray(splats.radii)) <= 9
+
+
+def test_escalation_fires_on_out_of_distribution_splats():
+    """Unbounded log-normal tail (scales up to 2.0 world units): the
+    capped config degrades, and suggest_tiles_per_gauss detects it so
+    the CLI escalates at init."""
+    scene = _scene(400, scale_cap=2.0, lognorm_mean=-3.2, lognorm_sigma=1.0)
+    means, quats, scales, opac, colors = scene
+    viewmat, K = _camera()
+    splats = projection.project(means, quats, scales, viewmat, K, W, H)
+    assert tiles.suggest_tiles_per_gauss(np.asarray(splats.radii)) > 9
+
+    p_proto, _ = _psnr_vs_oracle(scene, PROTO)
+    p_big, _ = _psnr_vs_oracle(scene, BIG)
+    # the degradation the suggestion guards against is real
+    assert p_big > p_proto + 1.0
+
+
+def test_suggest_budgets_monotone():
+    assert tiles.suggest_tiles_per_gauss(np.zeros(10)) == 9
+    assert tiles.suggest_tiles_per_gauss(np.full(100, 4.0)) == 9
+    assert tiles.suggest_tiles_per_gauss(np.full(100, 20.0)) == 16
+    assert tiles.suggest_tiles_per_gauss(np.full(100, 200.0)) == 64
