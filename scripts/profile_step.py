@@ -195,6 +195,9 @@ def main():
     sampler = L.BatchSampler(F, 2, seed=0)
     batch = L.make_batch(data, sampler.next_ids())
 
+    # the step donates its input state; keep a live copy for the flow-ON
+    # section below
+    ts_keep = jax.tree.map(jnp.copy, ts)
     ts2, m = step_fn(ts, batch)
     jax.block_until_ready(m.loss)
     t0 = time.time()
@@ -234,25 +237,25 @@ def main():
                                lambda_flow_loss=1e-2)
     fwd_f = make_forward(opt_f, W, H, data.max_time, num_warp=9,
                          raster_cfg=CFG)
-    sd, sa = G.split_diff(ts.stat)
-    dd, da = G.split_diff(ts.dyn)
-    Ktot2 = ts.stat.capacity + ts.dyn.capacity
+    sd, sa = G.split_diff(ts_keep.stat)
+    dd, da = G.split_diff(ts_keep.dyn)
+    Ktot2 = ts_keep.stat.capacity + ts_keep.dyn.capacity
     offs = jnp.zeros((2, Ktot2, 2), jnp.float32)
 
     def fwd_only(sd_, dd_, sand_, blce_p, offs_, expo_, b_):
         return fwd_f(sd_, dd_, sand_, blce_p, offs_, sa, da, expo_, b_)[0]
 
     fwd_j = jax.jit(fwd_only)
-    timeit("forward only (flow ON)", fwd_j, sd, dd, ts.sandwich,
-           ts.blce.params, offs, ts.blce.exposure_expo, batch, reps=3)
+    timeit("forward only (flow ON)", fwd_j, sd, dd, ts_keep.sandwich,
+           ts_keep.blce.params, offs, ts_keep.blce.exposure_expo, batch, reps=3)
 
     fwdg_j = jax.jit(jax.grad(fwd_only, argnums=(0, 1, 2, 3, 4)))
-    timeit("forward+grad (flow ON)", fwdg_j, sd, dd, ts.sandwich,
-           ts.blce.params, offs, ts.blce.exposure_expo, batch, reps=3)
+    timeit("forward+grad (flow ON)", fwdg_j, sd, dd, ts_keep.sandwich,
+           ts_keep.blce.params, offs, ts_keep.blce.exposure_expo, batch, reps=3)
 
     step_f = make_train_step(opt_f, W, H, data.max_time, num_warp=9,
                              raster_cfg=CFG)
-    ts3 = jax.tree.map(jnp.copy, ts)
+    ts3 = jax.tree.map(jnp.copy, ts_keep)
     ts3, m3 = step_f(ts3, batch)
     jax.block_until_ready(m3.loss)
     t0 = time.time()

@@ -72,6 +72,69 @@ def test_grid_sample_matches_torch():
     np.testing.assert_allclose(ours, theirs, atol=1e-5)
 
 
+def _composed_warp(img_hw3, coords, W, H):
+    """The pre-fusion reference path: normalize + grid_sample_border."""
+    g = losses.normalize_coords(coords, W, H)
+    return losses.grid_sample_border(img_hw3.transpose(2, 0, 1),
+                                     g).transpose(1, 2, 0)
+
+
+def test_warp_images_matches_grid_sample_path():
+    """warp_images (fused K-warp gather) == per-warp torch-parity sampler,
+    values AND grads, including out-of-border coords."""
+    rng = np.random.default_rng(2)
+    K, H, W = 4, 12, 18
+    imgs = jnp.asarray(rng.uniform(size=(K, H, W, 3)).astype(np.float32))
+    # coords spanning inside + both out-of-border sides, avoiding exact
+    # border hits (measure-zero one-sided-derivative divergence, see note
+    # in losses.py)
+    coords = jnp.asarray(
+        rng.uniform(-4.3, 1.2, size=(K, H, W, 2)).astype(np.float32)
+        * np.asarray([W, H], np.float32))
+
+    got = losses.warp_images(imgs, coords, W, H)
+    want = jnp.stack([_composed_warp(imgs[k], coords[k], W, H)
+                      for k in range(K)])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss_fused(im, c):
+        return jnp.sum(losses.warp_images(im, c, W, H)
+                       * jnp.cos(jnp.arange(K * H * W * 3).reshape(got.shape)))
+
+    def loss_ref(im, c):
+        w = jnp.stack([_composed_warp(im[k], c[k], W, H) for k in range(K)])
+        return jnp.sum(w * jnp.cos(jnp.arange(K * H * W * 3).reshape(got.shape)))
+
+    gi_f, gc_f = jax.grad(loss_fused, argnums=(0, 1))(imgs, coords)
+    gi_r, gc_r = jax.grad(loss_ref, argnums=(0, 1))(imgs, coords)
+    np.testing.assert_allclose(np.asarray(gi_f), np.asarray(gi_r), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_r), atol=1e-4)
+
+
+def test_flow_warp_loss_matches_unfused_oracle():
+    """flow_warp_loss (fused) == the straightforward per-warp formula."""
+    rng = np.random.default_rng(3)
+    E, H, W = 3, 10, 14
+    ori = jnp.asarray(rng.uniform(size=(H, W, 3)).astype(np.float32))
+    lat = jnp.asarray(rng.uniform(size=(E, H, W, 3)).astype(np.float32))
+    la = jnp.asarray(rng.uniform(size=(E, H, W)).astype(np.float32))
+    da = jnp.asarray(rng.uniform(size=(H, W)).astype(np.float32))
+    e2m = jnp.asarray(rng.uniform(0, 1, size=(E, H, W, 2)).astype(np.float32)
+                      * np.asarray([W - 1, H - 1], np.float32))
+    m2e = jnp.asarray(rng.uniform(0, 1, size=(E, H, W, 2)).astype(np.float32)
+                      * np.asarray([W - 1, H - 1], np.float32))
+
+    got = float(losses.flow_warp_loss(ori, lat, la, da, e2m, m2e, W, H))
+
+    wm = jnp.stack([_composed_warp(ori, e2m[e], W, H) for e in range(E)])
+    t1 = losses.l1_loss(wm, lat, mask=la[..., None])
+    wl = jnp.stack([_composed_warp(lat[e], m2e[e], W, H) for e in range(E)])
+    ori_rep = jnp.broadcast_to(ori[None], (E, H, W, 3))
+    mask = jnp.broadcast_to(da[None, ..., None], (E, H, W, 1))
+    t2 = losses.l1_loss(wl, ori_rep, mask=mask)
+    np.testing.assert_allclose(got, float(t1 + t2), rtol=1e-5)
+
+
 def test_l1_masked_matches_reference_formula():
     rng = np.random.default_rng(1)
     a = jnp.asarray(rng.uniform(size=(2, 3, 8, 8)).astype(np.float32))
