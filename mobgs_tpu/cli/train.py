@@ -42,6 +42,9 @@ def main(argv=None):
                    help="seed-sweep mode: truncate at 5000 iters and append "
                         "best PSNR to seed.txt (reference train.py:290,1008)")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--densify_mode", type=int, default=2, choices=(1, 2, 3),
+                   help="controlgaussians dispatch (helper_train.py:183-289);"
+                        " the reference hardcodes 2 (train.py:208)")
     p.add_argument("--eval_tto", action="store_true",
                    help="run 5 TTO steps in the in-training eval (the "
                         "reference renders aligned test cams with no TTO)")
@@ -312,6 +315,7 @@ def main(argv=None):
         eval_every=args.test_iterations, on_eval=on_eval,
         debug_every=300, on_debug=on_debug,
         viewer=viewer, viewer_render=viewer_render,
+        densify_mode=args.densify_mode,
         checkpoint_every=500,
         on_checkpoint=lambda ts_now, it: __import__(
             "mobgs_tpu.io.checkpoint", fromlist=["save_train_state"]

@@ -30,6 +30,7 @@ Reference behavior notes mirrored exactly:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -181,28 +182,150 @@ def reset_opacity(state: G.GaussianState, opt_state: AdamState):
     return state, opt_state
 
 
+def zero_omega_by_motion(state: G.GaussianState, opt_state: AdamState,
+                         threshold: float = 0.15):
+    """Freeze-mask computation at the mode-1 iteration-8001 boundary
+    (gaussian_model.py:920-932 `zero_omegabymotion`).
+
+    mask=True ⇒ the Gaussian keeps a trainable ω: it moves
+    (Σ|motion[:3]| > 0.3), is mid-sized (0.2 < max scale < 0.6) and
+    opaque (α > 0.7). ω is zeroed everywhere else, and — matching
+    `replace_tensor_to_optimizer` (:1090-1105) — the ω Adam moments are
+    reset. Returns (state, opt_state, omega_mask[M] bool).
+
+    ``threshold`` mirrors the reference's (dead) default argument; the
+    shipped criterion uses the motion-magnitude 0.3 cut instead.
+    """
+    del threshold  # kept for signature parity; see docstring
+    scales = G.act_scaling(state)
+    moving = jnp.sum(jnp.abs(state.motion[:, 0:3]), axis=1) > 0.3
+    ms = jnp.max(scales, axis=1)
+    mask = (moving & (ms > 0.2) & (ms < 0.6)
+            & (G.act_opacity(state) > 0.7) & state.live)
+    state = state._replace(
+        omega=mask[:, None].astype(state.omega.dtype) * state.omega)
+    opt_state = AdamState(
+        mu=opt_state.mu._replace(omega=jnp.zeros_like(opt_state.mu.omega)),
+        nu=opt_state.nu._replace(omega=jnp.zeros_like(opt_state.nu.omega)),
+        step=opt_state.step)
+    return state, opt_state, mask
+
+
+def apply_omega_freeze(grads: G.DiffFields,
+                       omega_mask: jnp.ndarray) -> G.DiffFields:
+    """Per-iteration gradient freeze for densify mode 1 after iter 8001
+    (`freezweightsbymasknounsqueeze`, helper_train.py:158-164,191-194):
+    where ω stays trainable (mask=1) the rotation grad is zeroed, and
+    vice versa. The reference stashes ``_omega_grd`` and re-injects the
+    masked grad AFTER zero_grad — accumulating it into the next
+    backward; we implement the intended semantics (mask each
+    iteration's fresh gradient before Adam)."""
+    m = omega_mask.astype(grads.omega.dtype)
+    return grads._replace(omega=grads.omega * m[:, None],
+                          rotation=grads.rotation * (1.0 - m)[:, None])
+
+
+def remove_min_max(state: G.GaussianState, maxbounds, minbounds):
+    """Prune Gaussians outside the init-time xyz bounding box
+    (helper_train.py:167-180; bounds captured at train.py:216-228)."""
+    xyz = state.xyz
+    mx = jnp.asarray(maxbounds)
+    mn = jnp.asarray(minbounds)
+    outside = jnp.any((xyz > mx[None]) | (xyz < mn[None]), axis=1)
+    return state._replace(live=state.live & ~outside)
+
+
+def prune_z_below(state: G.GaussianState, z_thresh: float = 4.5):
+    """Mode-1 post-densify stability prune: drop xyz.z < 4.5
+    (helper_train.py:212-215)."""
+    return state._replace(live=state.live & ~(state.xyz[:, 2] < z_thresh))
+
+
 def control_gaussians(state: G.GaussianState, stats: DensifyStats,
                       opt_state: AdamState, rng: jax.Array,
                       iteration: int, flag: int, opt_cfg,
-                      scene_extent: float, is_dynamic: bool):
-    """Host-level controller — the mode-2 dispatch (helper_train.py:222-258).
+                      scene_extent: float, is_dynamic: bool,
+                      mode: int = 2, omega_mask: jnp.ndarray | None = None,
+                      maxbounds=None, minbounds=None,
+                      total_iterations: int = 10_000,
+                      densify_fn=None, prune_fn=None, reset_fn=None):
+    """Host-level controller — `controlgaussians` (helper_train.py:183-289).
 
-    Called outside the hot jitted step at densification boundaries.
-    Returns (state, opt_state, stats, flag).
+    Mode 2 is what the shipped train path hardcodes (train.py:208); modes
+    1 (N3D + ω-freeze) and 3 (Technicolor thresholds) are implemented for
+    inventory parity. Called outside the hot jitted step at
+    densification boundaries. The optional ``*_fn`` hooks let the train
+    loop pass its pre-jitted primitives (defaults run unjitted).
+
+    Returns (state, opt_state, stats, flag, omega_mask, n_dropped).
+    ``omega_mask`` is non-None only in mode 1 past iteration 8001 — the
+    caller must then run the gradient-freeze step variant
+    (apply_omega_freeze) every iteration.
     """
-    if iteration >= opt_cfg.densify_until_iter:
-        return state, opt_state, stats, flag
-    if (iteration > opt_cfg.densify_from_iter
-            and iteration % opt_cfg.densification_interval == 0):
-        if flag < opt_cfg.desicnt:
-            thr = opt_cfg.densify_grad_threshold * (0.5 if is_dynamic else 1.0)
-            state, opt_state, stats, _ = densify_clone_split(
-                state, stats, opt_state, rng, thr, opt_cfg.percent_dense,
-                scene_extent, split_n=2)
-            if not is_dynamic:
-                flag += 1
+    if mode not in (1, 2, 3):
+        raise ValueError(f"unknown densify mode {mode}")
+    densify_fn = densify_fn or functools.partial(
+        densify_clone_split, percent_dense=opt_cfg.percent_dense,
+        scene_extent=scene_extent, split_n=2)
+    prune_fn = prune_fn or prune_by_opacity
+    reset_fn = reset_fn or reset_opacity
+    dropped = 0
+
+    def _densify(thr):
+        nonlocal state, opt_state, stats, dropped
+        state, opt_state, stats, n_drop = densify_fn(
+            state, stats, opt_state, rng, grad_threshold=thr)
+        dropped += int(n_drop)
+
+    at_interval = (iteration > opt_cfg.densify_from_iter
+                   and iteration % opt_cfg.densification_interval == 0)
+
+    if mode == 2:  # helper_train.py:222-258
+        if iteration < opt_cfg.densify_until_iter:
+            if at_interval:
+                if flag < opt_cfg.desicnt:
+                    _densify(opt_cfg.densify_grad_threshold
+                             * (0.5 if is_dynamic else 1.0))
+                    if not is_dynamic:
+                        flag += 1
+                else:
+                    state = prune_fn(state, opt_cfg.opthr)
+            if iteration % opt_cfg.opacity_reset_interval == 0:
+                state, opt_state = reset_fn(state, opt_state)
+        return state, opt_state, stats, flag, None, dropped
+
+    if mode == 1:  # helper_train.py:185-217
+        if iteration < opt_cfg.densify_until_iter:
+            if iteration == 8001:
+                state, opt_state, omega_mask = zero_omega_by_motion(
+                    state, opt_state)
+            if at_interval:
+                if flag < opt_cfg.desicnt:
+                    _densify(opt_cfg.densify_grad_threshold)
+                    flag += 1
+                elif iteration < 7000:
+                    state = prune_fn(state, opt_cfg.opthr)
+            if iteration % 3000 == 0:
+                state, opt_state = reset_fn(state, opt_state)
         else:
-            state = prune_by_opacity(state, opt_cfg.opthr)
-    if iteration % opt_cfg.opacity_reset_interval == 0:
-        state, opt_state = reset_opacity(state, opt_state)
-    return state, opt_state, stats, flag
+            if iteration % 1000 == 500:
+                state = prune_z_below(state)
+            if iteration == total_iterations and maxbounds is not None:
+                state = remove_min_max(state, maxbounds, minbounds)
+        return state, opt_state, stats, flag, omega_mask, dropped
+
+    # mode 3 — helper_train.py:265-289 (Technicolor)
+    if iteration < opt_cfg.densify_until_iter:
+        if at_interval:
+            if flag < opt_cfg.desicnt:
+                _densify(opt_cfg.densify_grad_threshold
+                         * (1.0 if is_dynamic else 1e-2))
+                flag += 1
+            elif iteration < 7000:
+                state = prune_fn(state, opt_cfg.opthr)
+        if iteration % opt_cfg.opacity_reset_interval == 0:
+            state, opt_state = reset_fn(state, opt_state)
+    else:
+        if iteration == total_iterations and maxbounds is not None:
+            state = remove_min_max(state, maxbounds, minbounds)
+    return state, opt_state, stats, flag, None, dropped

@@ -46,6 +46,44 @@ class BatchSampler:
         return np.asarray(ids, np.int64)
 
 
+class FineSampler:
+    """Temporal-coherence epoch sampler (reference
+    `utils/loader_utils.py:20-50` `FineSampler` — library code, unused
+    at the shipped defaults, which drive the without-replacement
+    BatchSampler instead).
+
+    For each timestamp it builds a random pose permutation and, after
+    every second element, splices in 2 replayed samples from the epoch
+    history. NOTE: the reference's inner ``for j in range(4)`` loop
+    overwrites ``now_list`` each pass and appends only AFTER the loop
+    (loader_utils.py:26-41), so just the last permutation survives —
+    reproduced faithfully.
+    """
+
+    def __init__(self, num_views: int, frame_length: int, seed: int = 0):
+        self.rng = np.random.default_rng(seed)
+        py_rng = __import__("random").Random(seed)
+        sample_list: list[int] = []
+        for i in range(frame_length):
+            for _ in range(4):
+                idx = self.rng.permutation(num_views) * frame_length + i
+                now_list: list[int] = []
+                cnt = 0
+                for item in idx.tolist():
+                    now_list.append(int(item))
+                    cnt += 1
+                    if cnt % 2 == 0 and len(sample_list) > 2:
+                        now_list += py_rng.sample(sample_list, 2)
+            sample_list += now_list
+        self.sample_list = sample_list
+
+    def __iter__(self):
+        return iter(self.sample_list)
+
+    def __len__(self):
+        return len(self.sample_list)
+
+
 def make_batch(data: SceneData, ids: np.ndarray) -> Batch:
     return Batch(
         view_idx=jnp.asarray(ids, jnp.int32),
@@ -108,8 +146,15 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
           eval_every: int = 0, on_eval: Callable | None = None,
           debug_every: int = 0, on_debug: Callable | None = None,
           viewer=None, viewer_render: Callable | None = None,
-          checkpoint_every: int = 0, on_checkpoint: Callable | None = None):
-    """Run the fine-stage loop. Returns (ts, history list)."""
+          checkpoint_every: int = 0, on_checkpoint: Callable | None = None,
+          densify_mode: int = 2):
+    """Run the fine-stage loop. Returns (ts, history list).
+
+    densify_mode: controlgaussians dispatch (helper_train.py:183-289).
+    The reference train path hardcodes 2 (train.py:208); modes 1 and 3
+    route through densify.control_gaussians (mode 1 additionally swaps
+    in the ω-freeze step variant past iteration 8001).
+    """
     V = data.w2c.shape[0]
     # start_warp staging (reference train.py:471,503-507): before
     # start_warp the step trains on the mid render alone (no latent
@@ -121,9 +166,9 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
     swd = getattr(blce_cfg, "start_warp_dynamic", 0)
     _step_cache: dict = {}
 
-    def step_for(it: int):
+    def step_for(it: int, freeze: bool = False):
         wl = it > sw
-        key = (wl, wl and it > swd)
+        key = (wl, wl and it > swd, freeze)
         if key not in _step_cache:
             # spatial_lr_scale = cameras_extent: the reference scales the
             # xyz lr by the scene radius (scene/__init__.py:81,113;
@@ -133,7 +178,8 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
                 opt_cfg, data.width, data.height, data.max_time,
                 blce_cfg.num_warp, raster_cfg,
                 spatial_lr_scale=scene_extent,
-                with_latents=key[0], with_exposure_delta=key[1])
+                with_latents=key[0], with_exposure_delta=key[1],
+                with_omega_freeze=key[2])
         return _step_cache[key]
     expo_fn = make_exposure_update(data.width, data.height, data.max_time,
                                    blce_cfg.num_warp, raster_cfg)
@@ -148,6 +194,15 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
     batcher = DeviceBatcher(data)
     rng = jax.random.PRNGKey(seed)
     flag_s, flag_d = 0, 0
+    # modes 1/3: init-time xyz extremes for the end-of-train
+    # remove_min_max prune (reference train.py:216-228)
+    omega_mask_s = omega_mask_d = None
+    bounds_s = bounds_d = (None, None)
+    if densify_mode != 2:
+        def _bounds(st):
+            pts = np.asarray(st.xyz)[np.asarray(st.live)]
+            return pts.max(0), pts.min(0)
+        bounds_s, bounds_d = _bounds(ts.stat), _bounds(ts.dyn)
     # truncation observability (round-2 judge item 5): candidates the
     # fixed-capacity pools rejected since the last log line
     dropped_s, dropped_d = 0, 0
@@ -161,7 +216,12 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
 
         ids = sampler.next_ids()
         batch = batcher(ids)
-        ts, metrics = step_for(it)(ts, batch)
+        freeze = densify_mode == 1 and omega_mask_s is not None
+        if freeze:
+            ts, metrics = step_for(it, True)(ts, batch, omega_mask_s,
+                                             omega_mask_d)
+        else:
+            ts, metrics = step_for(it)(ts, batch)
 
         # exposure re-estimation every 10 iters, for every batch view in
         # ONE vmapped dispatch (reference runs it inside the camera
@@ -178,35 +238,60 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
                          jnp.asarray(data.w2c[bwd]),
                          jnp.asarray((ids == 0) | (ids == V - 1)))
 
-        # densification (helper_train.py:222-258, mode 2)
-        if it < opt_cfg.densify_until_iter:
-            if (it > opt_cfg.densify_from_iter
-                    and it % opt_cfg.densification_interval == 0):
-                rng, k1, k2 = jax.random.split(rng, 3)
-                if flag_d < opt_cfg.desicnt:
-                    dyn, dyn_opt, dyn_stats, n_drop = densify_fn(
-                        ts.dyn, ts.dyn_stats, ts.dyn_opt, k1,
-                        grad_threshold=opt_cfg.densify_grad_threshold * 0.5)
-                    dropped_d += int(n_drop)
-                    ts = ts._replace(dyn=dyn, dyn_opt=dyn_opt,
-                                     dyn_stats=dyn_stats)
-                else:
-                    ts = ts._replace(dyn=prune_fn(ts.dyn, opt_cfg.opthr))
-                if flag_s < opt_cfg.desicnt:
-                    stat, stat_opt, stat_stats, n_drop = densify_fn(
-                        ts.stat, ts.stat_stats, ts.stat_opt, k2,
-                        grad_threshold=opt_cfg.densify_grad_threshold)
-                    dropped_s += int(n_drop)
+        # densification (helper_train.py:183-289)
+        if densify_mode == 2:
+            # the shipped mode, inlined (train.py:208 hardcode)
+            if it < opt_cfg.densify_until_iter:
+                if (it > opt_cfg.densify_from_iter
+                        and it % opt_cfg.densification_interval == 0):
+                    rng, k1, k2 = jax.random.split(rng, 3)
+                    if flag_d < opt_cfg.desicnt:
+                        dyn, dyn_opt, dyn_stats, n_drop = densify_fn(
+                            ts.dyn, ts.dyn_stats, ts.dyn_opt, k1,
+                            grad_threshold=opt_cfg.densify_grad_threshold * 0.5)
+                        dropped_d += int(n_drop)
+                        ts = ts._replace(dyn=dyn, dyn_opt=dyn_opt,
+                                         dyn_stats=dyn_stats)
+                    else:
+                        ts = ts._replace(dyn=prune_fn(ts.dyn, opt_cfg.opthr))
+                    if flag_s < opt_cfg.desicnt:
+                        stat, stat_opt, stat_stats, n_drop = densify_fn(
+                            ts.stat, ts.stat_stats, ts.stat_opt, k2,
+                            grad_threshold=opt_cfg.densify_grad_threshold)
+                        dropped_s += int(n_drop)
+                        ts = ts._replace(stat=stat, stat_opt=stat_opt,
+                                         stat_stats=stat_stats)
+                        flag_s += 1
+                    else:
+                        ts = ts._replace(stat=prune_fn(ts.stat, opt_cfg.opthr))
+                if it % opt_cfg.opacity_reset_interval == 0:
+                    stat, stat_opt = reset_fn(ts.stat, ts.stat_opt)
+                    dyn, dyn_opt = reset_fn(ts.dyn, ts.dyn_opt)
                     ts = ts._replace(stat=stat, stat_opt=stat_opt,
-                                     stat_stats=stat_stats)
-                    flag_s += 1
-                else:
-                    ts = ts._replace(stat=prune_fn(ts.stat, opt_cfg.opthr))
-            if it % opt_cfg.opacity_reset_interval == 0:
-                stat, stat_opt = reset_fn(ts.stat, ts.stat_opt)
-                dyn, dyn_opt = reset_fn(ts.dyn, ts.dyn_opt)
-                ts = ts._replace(stat=stat, stat_opt=stat_opt,
-                                 dyn=dyn, dyn_opt=dyn_opt)
+                                     dyn=dyn, dyn_opt=dyn_opt)
+        else:
+            rng, k1, k2 = jax.random.split(rng, 3)
+            dyn, dyn_opt, dyn_stats, flag_d, omega_mask_d, nd = \
+                D.control_gaussians(
+                    ts.dyn, ts.dyn_stats, ts.dyn_opt, k1, it, flag_d,
+                    opt_cfg, scene_extent, is_dynamic=True,
+                    mode=densify_mode, omega_mask=omega_mask_d,
+                    maxbounds=bounds_d[0], minbounds=bounds_d[1],
+                    total_iterations=iterations, densify_fn=densify_fn,
+                    prune_fn=prune_fn, reset_fn=reset_fn)
+            stat, stat_opt, stat_stats, flag_s, omega_mask_s, ns = \
+                D.control_gaussians(
+                    ts.stat, ts.stat_stats, ts.stat_opt, k2, it, flag_s,
+                    opt_cfg, scene_extent, is_dynamic=False,
+                    mode=densify_mode, omega_mask=omega_mask_s,
+                    maxbounds=bounds_s[0], minbounds=bounds_s[1],
+                    total_iterations=iterations, densify_fn=densify_fn,
+                    prune_fn=prune_fn, reset_fn=reset_fn)
+            dropped_d += nd
+            dropped_s += ns
+            ts = ts._replace(stat=stat, stat_opt=stat_opt,
+                             stat_stats=stat_stats, dyn=dyn,
+                             dyn_opt=dyn_opt, dyn_stats=dyn_stats)
 
         if it % log_every == 0 or it == iterations:
             m = jax.tree.map(float, metrics._asdict())

@@ -284,14 +284,22 @@ def make_train_step(opt_cfg, width: int, height: int,
                     spatial_lr_scale: float = 5.0,
                     use_blce: bool = True,
                     with_latents: bool = True,
-                    with_exposure_delta: bool = True):
-    """Build the jitted per-iteration update."""
+                    with_exposure_delta: bool = True,
+                    with_omega_freeze: bool = False):
+    """Build the jitted per-iteration update.
+
+    with_omega_freeze: densify mode 1 past iteration 8001
+    (helper_train.py:191-194) — the step takes two extra [M] bool mask
+    args (static pool, dynamic pool) and applies
+    densify.apply_omega_freeze to the Gaussian grads before Adam.
+    """
     forward = make_forward(opt_cfg, width, height, max_time, num_warp,
                            raster_cfg, use_blce, with_latents,
                            with_exposure_delta)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(ts: TrainState, batch: Batch):
+    def train_step(ts: TrainState, batch: Batch,
+                   stat_omega_mask=None, dyn_omega_mask=None):
         stat_diff, stat_aux = G.split_diff(ts.stat)
         dyn_diff, dyn_aux = G.split_diff(ts.dyn)
         Bsz = batch.view_idx.shape[0]
@@ -305,6 +313,9 @@ def make_train_step(opt_cfg, width: int, height: int,
                                       stat_aux, dyn_aux,
                                       ts.blce.exposure_expo, batch)
         g_stat, g_dyn, g_sand, g_blce, g_off = grads
+        if with_omega_freeze:
+            g_stat = densify.apply_omega_freeze(g_stat, stat_omega_mask)
+            g_dyn = densify.apply_omega_freeze(g_dyn, dyn_omega_mask)
 
         # ---- densification stats from view-space grads (train.py:633-648)
         Ms = ts.stat.capacity

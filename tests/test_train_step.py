@@ -150,7 +150,160 @@ def test_split_at_capacity_never_destroys():
     assert int(dropped) > 0
 
 
-def test_start_warp_staged_training():
+def _stats_all_hot(state, cap):
+    return D.DensifyStats(
+        xyz_grad_accum=jnp.full((cap,), 1.0) * state.live,
+        denom=jnp.ones((cap,)) * state.live,
+        max_radii2d=jnp.zeros((cap,)))
+
+
+def test_zero_omega_by_motion_mask_and_moments():
+    """gaussian_model.py:920-932: ω kept only for moving, mid-sized,
+    opaque Gaussians; everything else zeroed + ω moments reset."""
+    rng = np.random.default_rng(5)
+    n, cap = 20, 32
+    pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    state = G.create_state(pts, jnp.full((n, 3), 0.5), jnp.zeros(n), cap,
+                           rng=jax.random.PRNGKey(0))
+    # hand-craft the criterion fields: rows 0-4 qualify, the rest fail
+    motion = np.zeros((cap, 9), np.float32)
+    motion[:5, 0] = 1.0                      # moving
+    scaling = np.full((cap, 3), np.log(0.3), np.float32)   # mid-sized
+    scaling[5:8] = np.log(0.05)              # too small
+    scaling[8:10] = np.log(0.9)              # too big
+    opacity = np.full((cap, 1), 5.0, np.float32)           # sigmoid ~ 0.993
+    opacity[10:12] = -5.0                    # transparent
+    omega = rng.normal(size=(cap, 4)).astype(np.float32)
+    state = state._replace(motion=jnp.asarray(motion),
+                           scaling=jnp.asarray(scaling),
+                           opacity=jnp.asarray(opacity),
+                           omega=jnp.asarray(omega))
+    sd, _ = G.split_diff(state)
+    opt_state = init_adam(sd)
+    opt_state = opt_state._replace(
+        mu=opt_state.mu._replace(omega=jnp.ones((cap, 4))))
+
+    st2, opt2, mask = D.zero_omega_by_motion(state, opt_state)
+    m = np.asarray(mask)
+    assert m[:5].all() and not m[5:].any()
+    got = np.asarray(st2.omega)
+    np.testing.assert_allclose(got[:5], omega[:5])
+    assert (got[5:] == 0).all()
+    assert (np.asarray(opt2.mu.omega) == 0).all()  # moments reset
+
+
+def test_apply_omega_freeze_masks_grads():
+    """helper_train.py:158-164,191-194: mask keeps ω grads; rotation
+    grads are kept only where ω is frozen (complementary masks)."""
+    cap = 8
+    g = G.DiffFields(*[jnp.ones((cap, 3))] * len(G.DiffFields._fields))
+    g = g._replace(omega=jnp.ones((cap, 4)), rotation=jnp.ones((cap, 4)))
+    mask = jnp.asarray([True] * 3 + [False] * 5)
+    g2 = D.apply_omega_freeze(g, mask)
+    assert np.asarray(g2.omega)[:3].all() and not np.asarray(g2.omega)[3:].any()
+    assert not np.asarray(g2.rotation)[:3].any() and np.asarray(g2.rotation)[3:].all()
+
+
+def test_remove_min_max_and_z_prune():
+    rng = np.random.default_rng(6)
+    n, cap = 30, 32
+    pts = rng.normal(size=(n, 3)).astype(np.float32) * 3.0
+    state = G.create_state(jnp.asarray(pts), jnp.full((n, 3), 0.5),
+                           jnp.zeros(n), cap, rng=jax.random.PRNGKey(0))
+    mx, mn = pts.max(0) - 0.5, pts.min(0) + 0.5  # shrink the box a bit
+    st2 = D.remove_min_max(state, mx, mn)
+    live = np.asarray(st2.live)[:n]
+    inside = ((pts <= mx).all(1) & (pts >= mn).all(1))
+    np.testing.assert_array_equal(live, inside)
+
+    st3 = D.prune_z_below(state, z_thresh=0.0)
+    np.testing.assert_array_equal(np.asarray(st3.live)[:n], pts[:, 2] >= 0.0)
+
+
+def test_control_gaussians_modes_1_and_3():
+    """Mode dispatch parity (helper_train.py:185-217, 265-289): mode 1
+    computes the ω mask at 8001; mode 3 scales the static threshold by
+    1e-2 and increments flag for both sets; remove_min_max fires at the
+    final iteration once past densify_until."""
+    rng = np.random.default_rng(7)
+    n, cap = 40, 128
+    pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    state = G.create_state(pts, jnp.full((n, 3), 0.5), jnp.zeros(n), cap,
+                           rng=jax.random.PRNGKey(0))
+    sd, _ = G.split_diff(state)
+    opt_state = init_adam(sd)
+    stats = _stats_all_hot(state, cap)
+    opt = OptimizationParams(iterations=10_000, densify_from_iter=500,
+                             densification_interval=100,
+                             densify_until_iter=9_000, desicnt=2,
+                             opacity_reset_interval=3_000)
+
+    # mode 1 @ 8001: mask materializes (all-False here: motion is zero)
+    _, _, _, flag, mask, _ = D.control_gaussians(
+        state, stats, opt_state, jax.random.PRNGKey(1), iteration=8001,
+        flag=0, opt_cfg=opt, scene_extent=1e6, is_dynamic=False, mode=1)
+    assert mask is not None and not np.asarray(mask).any()
+
+    # mode 1 densify interval: flag increments for dynamic too
+    st2, _, _, flag, _, _ = D.control_gaussians(
+        state, stats, opt_state, jax.random.PRNGKey(2), iteration=600,
+        flag=0, opt_cfg=opt, scene_extent=1e6, is_dynamic=True, mode=1)
+    assert flag == 1 and int(st2.num_live()) == 2 * n
+
+    # mode 1 past densify_until: z-prune at it%1000==500, bbox prune at
+    # the last iteration
+    st3, _, _, _, _, _ = D.control_gaussians(
+        state, stats, opt_state, jax.random.PRNGKey(3), iteration=9500,
+        flag=2, opt_cfg=opt, scene_extent=1e6, is_dynamic=False, mode=1)
+    assert int(st3.num_live()) == int(jnp.sum(state.xyz[:, 2] >= 4.5))
+    st4, _, _, _, _, _ = D.control_gaussians(
+        state, stats, opt_state, jax.random.PRNGKey(4), iteration=10_000,
+        flag=2, opt_cfg=opt, scene_extent=1e6, is_dynamic=False, mode=1,
+        maxbounds=np.zeros(3), minbounds=np.zeros(3) - 1e9)
+    assert int(st4.num_live()) == int(jnp.sum(jnp.all(state.xyz <= 0, axis=1)
+                                              & state.live))
+
+    # mode 3: static threshold x 1e-2 — a grad of 0.005 with
+    # grad_threshold=0.0001 densifies static (0.005 >= 1e-6)… and ALSO
+    # dynamic (0.005 >= 1e-4); distinguish via a grad between the two
+    lo_stats = D.DensifyStats(
+        xyz_grad_accum=jnp.full((cap,), 5e-6) * state.live,
+        denom=jnp.ones((cap,)) * state.live,
+        max_radii2d=jnp.zeros((cap,)))
+    st5, _, _, flag5, _, _ = D.control_gaussians(
+        state, lo_stats, opt_state, jax.random.PRNGKey(5), iteration=600,
+        flag=0, opt_cfg=opt, scene_extent=1e6, is_dynamic=False, mode=3)
+    st6, _, _, _, _, _ = D.control_gaussians(
+        state, lo_stats, opt_state, jax.random.PRNGKey(6), iteration=600,
+        flag=0, opt_cfg=opt, scene_extent=1e6, is_dynamic=True, mode=3)
+    assert int(st5.num_live()) == 2 * n and flag5 == 1  # static densified
+    assert int(st6.num_live()) == n                     # dynamic below thr
+
+
+def test_train_step_omega_freeze_variant():
+    """with_omega_freeze: frozen-ω rows keep their exact parameters
+    through a step (fresh moments + zero grad ⇒ zero Adam update);
+    trainable-ω rows get a frozen rotation instead."""
+    from mobgs_tpu.train.step import make_train_step
+    ts, data, opt, blce_cfg = build_everything()
+    step = make_train_step(opt, data.width, data.height, data.max_time,
+                           num_warp=3, raster_cfg=CFG,
+                           with_omega_freeze=True)
+    cap_s, cap_d = ts.stat.capacity, ts.dyn.capacity
+    m_s = jnp.asarray(np.arange(cap_s) < cap_s // 2)
+    m_d = jnp.asarray(np.zeros(cap_d, bool))
+    omega0_s = np.asarray(ts.stat.omega).copy()
+    rot0_s = np.asarray(ts.stat.rotation).copy()
+    batch = L.make_batch(data, np.asarray([0, 1]))
+    ts4, m4 = step(ts, batch, m_s, m_d)
+    assert np.isfinite(float(m4.loss))
+    got_omega = np.asarray(ts4.stat.omega)
+    got_rot = np.asarray(ts4.stat.rotation)
+    half = cap_s // 2
+    # frozen ω rows (mask False) unchanged; trainable-ω rows have frozen
+    # rotation
+    np.testing.assert_array_equal(got_omega[half:], omega0_s[half:])
+    np.testing.assert_array_equal(got_rot[:half], rot0_s[:half])
     """Before start_warp the step trains on the mid render only: no
     latent renders, no flow, BLCE parameters must not move (reference
     train.py:471,802 — the BLCE optimizer never steps). After the
