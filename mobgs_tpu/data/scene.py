@@ -23,6 +23,26 @@ from mobgs_tpu.data.stereo import load_stereo_scene, sniff_dataset_type
 from mobgs_tpu.data.synthetic import SceneData
 
 
+def add_points(points: np.ndarray, colors: np.ndarray, normals: np.ndarray,
+               xyz_min: np.ndarray, xyz_max: np.ndarray,
+               n_add: int = 100_000, rng: np.random.Generator | None = None):
+    """Pad an init point cloud with uniform random points inside a bbox
+    (reference `scene/dataset_readers.py:538-551` `add_points` — library
+    code, no caller at the shipped defaults). Colors and normals of the
+    padded points are uniform random like the reference's.
+
+    Returns (points, colors, normals) with n_add extra rows.
+    """
+    rng = rng or np.random.default_rng()
+    xyz_min = np.asarray(xyz_min, np.float32)
+    xyz_max = np.asarray(xyz_max, np.float32)
+    extra = (rng.random((n_add, 3), dtype=np.float32)
+             * (xyz_max - xyz_min) + xyz_min)
+    return (np.vstack([points, extra]),
+            np.vstack([colors, rng.random((n_add, 3), dtype=np.float32)]),
+            np.vstack([normals, rng.random((n_add, 3), dtype=np.float32)]))
+
+
 def load_blender_scene(path: str, white_background: bool = False,
                        half_res: bool = False) -> SceneData:
     """NeRF-synthetic `transforms_train.json` loader (reference

@@ -1,0 +1,516 @@
+"""The reference's auxiliary loss library (dead in its shipped train path).
+
+JAX ports of `utils/loss_utils.py` (the parts train.py never calls) and
+`utils/depth_loss_utils.py` (never imported by the reference train at
+all). Ported for inventory parity — the active losses live in
+`train/losses.py`. Values match the torch formulas; data-dependent
+boolean indexing (``x[mask].mean()``) becomes masked means (identical
+results, static shapes).
+
+Notable reference facts preserved here:
+* `weighted_l2_loss_v1` is UNDEFINED in the reference — `KnnConstraint`
+  (loss_utils.py:506-543) would raise NameError if ever called. We use
+  the shape-of-motion convention ``mean(w * (d - d_ref)**2)`` that the
+  surrounding code imports from.
+* `sgt_smoothness` (loss_utils.py:445-469) computes trbf activations
+  and then returns 0 — kept verbatim.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# quaternion helpers (loss_utils.py:23-68)
+# ---------------------------------------------------------------------------
+
+def _normalize(q, axis=-1, eps=1e-12):
+    n = jnp.sqrt(jnp.sum(q * q, axis=axis, keepdims=True))
+    return q / jnp.maximum(n, eps)
+
+
+def quaternion_distance(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
+    """Geodesic distance between unit quaternions, radians ([B,4]→[B])."""
+    q1 = _normalize(q1)
+    q2 = _normalize(q2)
+    dot = jnp.clip(jnp.abs(jnp.sum(q1 * q2, axis=-1)), -1.0, 1.0)
+    return 2.0 * jnp.arccos(dot)
+
+
+def quaternion_slerp(q1: jnp.ndarray, q2: jnp.ndarray, t) -> jnp.ndarray:
+    """SLERP between two quaternions (loss_utils.py:37-68); `t` may be a
+    scalar or a [S] vector (broadcast over samples)."""
+    q1 = _normalize(q1)
+    q2 = _normalize(q2)
+    dot = jnp.sum(q1 * q2, axis=-1)
+    q2 = jnp.where(dot < 0.0, -q2, q2)
+    dot = jnp.clip(jnp.abs(dot), -1.0, 1.0)
+    theta = jnp.arccos(dot)
+    sin_theta = jnp.sin(theta)
+    t = jnp.asarray(t)
+    tt = t[..., None]
+    lin = (1.0 - tt) * q1 + tt * q2  # near-parallel fallback
+    safe_sin = jnp.where(sin_theta < 1e-6, 1.0, sin_theta)
+    slerp = (jnp.sin((1.0 - tt) * theta) / safe_sin * q1
+             + jnp.sin(tt * theta) / safe_sin * q2)
+    return jnp.where(sin_theta < 1e-6, lin, slerp)
+
+
+def trbfunction(x: jnp.ndarray) -> jnp.ndarray:
+    """exp(-x²) temporal radial basis (loss_utils.py:70-71)."""
+    return jnp.exp(-jnp.square(x))
+
+
+# ---------------------------------------------------------------------------
+# image-space regularizers (loss_utils.py:73-167)
+# ---------------------------------------------------------------------------
+
+def compute_tv_loss(pred: jnp.ndarray) -> jnp.ndarray:
+    """Total variation over [B,H,W,3] (loss_utils.py:73-84)."""
+    h_diff = pred[..., :, :-1, :] - pred[..., :, 1:, :]
+    w_diff = pred[..., :-1, :, :] - pred[..., 1:, :, :]
+    return jnp.mean(jnp.abs(h_diff)) + jnp.mean(jnp.abs(w_diff))
+
+
+def _masked_mean(vals: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    m = mask.astype(vals.dtype)
+    return jnp.sum(vals * m) / jnp.maximum(jnp.sum(m), 1e-12)
+
+
+def trimmed_mse_loss(pred, gt, quantile=0.9):
+    """Mean of per-element MSE below its `quantile` (loss_utils.py:134-139)."""
+    loss = jnp.mean(jnp.square(pred - gt), axis=-1)
+    q = jnp.quantile(loss, quantile)
+    return _masked_mean(loss, loss < q)
+
+
+def trimmed_l1_loss(pred, gt, quantile=0.9):
+    """loss_utils.py:141-146."""
+    loss = jnp.mean(jnp.abs(pred - gt), axis=-1)
+    q = jnp.quantile(loss, quantile)
+    return _masked_mean(loss, loss < q)
+
+
+def _masked_quantile_loss(sum_loss, mask, normalize, quantile):
+    """Shared core of masked_{mse,l1}_loss (loss_utils.py:86-119).
+    sum_loss: [..., 1] per-element loss (last dim kept, ndim == 1)."""
+    if quantile < 1:
+        qmask = (sum_loss < jnp.quantile(sum_loss, quantile))[..., 0]
+    else:
+        qmask = jnp.ones(sum_loss.shape[:-1], bool)
+    ndim = sum_loss.shape[-1]  # == 1, kept for formula parity
+    weighted = sum_loss * mask
+    sel = qmask[..., None].astype(sum_loss.dtype)
+    if normalize:
+        return jnp.sum(weighted * sel) / (
+            ndim * jnp.sum(mask * sel) + 1e-8)
+    return jnp.sum(weighted * sel) / jnp.maximum(jnp.sum(sel) * ndim, 1e-12)
+
+
+def masked_mse_loss(pred, gt, mask=None, normalize=True, quantile: float = 1.0):
+    """loss_utils.py:86-103."""
+    if mask is None:
+        return trimmed_mse_loss(pred, gt, quantile)
+    sum_loss = jnp.mean(jnp.square(pred - gt), axis=-1, keepdims=True)
+    return _masked_quantile_loss(sum_loss, mask, normalize, quantile)
+
+
+def masked_l1_loss(pred, gt, mask=None, normalize=True, quantile: float = 1.0):
+    """loss_utils.py:105-119."""
+    if mask is None:
+        return trimmed_l1_loss(pred, gt, quantile)
+    sum_loss = jnp.mean(jnp.abs(pred - gt), axis=-1, keepdims=True)
+    return _masked_quantile_loss(sum_loss, mask, normalize, quantile)
+
+
+def _huber(diff, delta):
+    a = jnp.abs(diff)
+    return jnp.where(a <= delta, 0.5 * diff * diff, delta * (a - 0.5 * delta))
+
+
+def masked_huber_loss(pred, gt, delta, mask=None, normalize=True):
+    """loss_utils.py:122-132 (torch F.huber_loss semantics)."""
+    h = _huber(pred - gt, delta)
+    if mask is None:
+        return jnp.mean(h)
+    ndim = h.shape[-1]
+    if normalize:
+        return jnp.sum(h * mask) / (ndim * jnp.sum(mask) + 1e-8)
+    return jnp.mean(h * mask)
+
+
+def compute_gradient_loss(pred, gt, mask, quantile=0.98):
+    """Masked finite-difference gradient loss (loss_utils.py:148-167).
+
+    pred/gt: [B,H,W] or [B,H,W,D]; mask: [B,H,W]."""
+    mask = mask.astype(pred.dtype)
+    mask_x = mask[:, :, 1:] * mask[:, :, :-1]
+    mask_y = mask[:, 1:, :] * mask[:, :-1, :]
+    pgx = pred[:, :, 1:] - pred[:, :, :-1]
+    pgy = pred[:, 1:, :] - pred[:, :-1, :]
+    ggx = gt[:, :, 1:] - gt[:, :, :-1]
+    ggy = gt[:, 1:, :] - gt[:, :-1, :]
+    if pgx.ndim == 3:  # add the feature axis the reference indexes with
+        pgx, pgy, ggx, ggy = (x[..., None] for x in (pgx, pgy, ggx, ggy))
+    # reference: masked_l1_loss(pred_grad[mask][...,None], ...) — a
+    # boolean gather, then the quantile over the GATHERED values. With
+    # static shapes: push invalid entries to +inf and rescale the
+    # quantile level so the interpolation point lands at the same rank
+    # within the valid prefix (exact as long as any entry is valid).
+    def term(p, g, m):
+        sl = jnp.mean(jnp.abs(p - g), axis=-1).reshape(-1)
+        mf = (m > 0).reshape(-1)
+        n_valid = jnp.sum(mf)
+        n_full = sl.shape[0]
+        q_adj = quantile * (n_valid - 1) / max(n_full - 1, 1)
+        qv = jnp.quantile(jnp.where(mf, sl, jnp.inf), jnp.clip(q_adj, 0, 1))
+        keep = (sl < qv) & mf
+        return _masked_mean(sl, keep)
+    return term(pgx, ggx, mask_x) + term(pgy, ggy, mask_y)
+
+
+# ---------------------------------------------------------------------------
+# shape-of-motion ("som") losses (loss_utils.py:170-226)
+# ---------------------------------------------------------------------------
+
+def _torch_median(x, axis, keepdims=False):
+    """torch.median convention: the LOWER of the two middle elements
+    (jnp.median averages them)."""
+    n = x.shape[axis]
+    sorted_x = jnp.sort(x, axis=axis)
+    return jnp.take(sorted_x, jnp.asarray([(n - 1) // 2]), axis=axis) \
+        if keepdims else jnp.take(sorted_x, (n - 1) // 2, axis=axis)
+
+
+def get_weights_for_procrustes(clusters: jnp.ndarray,
+                               visibilities: jnp.ndarray | None = None):
+    """loss_utils.py:170-184."""
+    med = _torch_median(clusters, axis=-2, keepdims=True)
+    d = jnp.linalg.norm(clusters - med, axis=-1)
+    d = d / _torch_median(d, axis=-1, keepdims=True)
+    w = jnp.exp(-d)
+    w = w / (jnp.mean(w, axis=-1, keepdims=True) + 1e-6)
+    if visibilities is not None:
+        w = w * (visibilities.astype(w.dtype) + 1e-6)
+    invalid = (d > jnp.quantile(d, 0.9)) | jnp.isnan(w)
+    return jnp.where(invalid, 0.0, w)
+
+
+def compute_z_acc_loss(means_ts_nb: jnp.ndarray, w2cs: jnp.ndarray):
+    """Along-ray velocity penalty over a 3-frame window
+    (loss_utils.py:186-203). means_ts_nb: [G,3,B,3], w2cs: [B,4,4]."""
+    cam_centers = jnp.linalg.inv(w2cs)[:, :3, 3]  # [B,3]
+    ray_dir = _normalize(means_ts_nb[:, 1] - cam_centers)  # [G,B,3]
+    v01 = jnp.sum((means_ts_nb[:, 1] - means_ts_nb[:, 0]) * ray_dir, axis=-1)
+    v12 = jnp.sum((means_ts_nb[:, 2] - means_ts_nb[:, 1]) * ray_dir, axis=-1)
+    return jnp.mean(v01 ** 2) + jnp.mean(v12 ** 2)
+
+
+def compute_accel_loss(transls: jnp.ndarray) -> jnp.ndarray:
+    """Central-difference acceleration norm (loss_utils.py:222-225)."""
+    accel = 2 * transls[:, 1:-1] - transls[:, :-2] - transls[:, 2:]
+    return jnp.mean(jnp.linalg.norm(accel, axis=-1))
+
+
+def compute_se3_smoothness_loss(rots, transls, weight_rot=1.0,
+                                weight_transl=2.0):
+    """loss_utils.py:206-219."""
+    return (compute_accel_loss(rots) * weight_rot
+            + compute_accel_loss(transls) * weight_transl)
+
+
+# ---------------------------------------------------------------------------
+# alpha / motion regularizers (loss_utils.py:242-319, 445-469)
+# ---------------------------------------------------------------------------
+
+def l2_loss(pred, gt, mask=None):
+    """loss_utils.py:242-249 ([B,C,H,W] mask broadcast over channels)."""
+    if mask is None:
+        return jnp.mean(jnp.square(pred - gt))
+    mask = jnp.broadcast_to(mask, gt.shape)
+    return jnp.sum(jnp.square((pred - gt) * mask)) / (jnp.sum(mask) + 1e-8)
+
+
+def entropy_loss_logit(alpha: jnp.ndarray) -> jnp.ndarray:
+    """loss_utils.py:278-283."""
+    eps = 1e-6
+    logit = jnp.log(alpha + eps) - jnp.log(1 - alpha + eps)
+    return -jnp.sum(jax.nn.sigmoid(logit) * logit)
+
+
+def sparsity_loss_boost(alpha: jnp.ndarray) -> jnp.ndarray:
+    """Push α toward 0.1 early in training (loss_utils.py:297-299)."""
+    return jnp.sum(jnp.square(alpha - 0.1))
+
+
+def motion_consistency_loss(positions_t, positions_t_prev, alpha):
+    """Penalize high-α low-motion splats (loss_utils.py:302-316)."""
+    motion = jnp.linalg.norm(positions_t - positions_t_prev, axis=1)
+    return jnp.sum(alpha * motion)
+
+
+def sgt_smoothness(trbf_center, trbf_scale, time, fwd_time, bwd_time):
+    """loss_utils.py:445-469 — the reference computes the three trbf
+    activations and then RETURNS 0 (dead stub); kept verbatim."""
+    for t in (time, bwd_time, fwd_time):
+        _ = trbfunction((t - trbf_center) / jnp.exp(trbf_scale))
+    return jnp.zeros(())
+
+
+# ---------------------------------------------------------------------------
+# KNN rigidity constraint (loss_utils.py:506-543)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def ball_query(query: jnp.ndarray, points: jnp.ndarray, k: int,
+               radius: float):
+    """pytorch3d-style ball query: for each query point, up to k point
+    indices within `radius` (first-found order = ascending index),
+    -1-padded. Returns (dists [B,N,k], idx [B,N,k]) like
+    pytorch3d.ops.ball_query. O(N²) panel on the MXU — library scale
+    (the reference applies it to ≤ tens of thousands of Gaussians)."""
+    def one(q, p):
+        d2 = (jnp.sum(q * q, -1)[:, None] + jnp.sum(p * p, -1)[None, :]
+              - 2.0 * q @ p.T)
+        inball = d2 <= radius * radius
+        # first k hits by index order: rank = position among hits
+        rank = jnp.cumsum(inball, axis=1) - 1
+        take = inball & (rank < k)
+        # scatter column index j into slot rank[i,j]
+        N = p.shape[0]
+        cols = jnp.broadcast_to(jnp.arange(N)[None, :], d2.shape)
+        rows = jnp.broadcast_to(jnp.arange(q.shape[0])[:, None], d2.shape)
+        idx = jnp.full((q.shape[0], k), -1, jnp.int32)
+        dst = jnp.where(take, rank, k)  # k = out-of-bounds → dropped
+        idx = idx.at[rows.reshape(-1), dst.reshape(-1)].set(
+            cols.reshape(-1).astype(jnp.int32), mode="drop")
+        d = jnp.full((q.shape[0], k), 0.0, d2.dtype)
+        d = d.at[rows.reshape(-1), dst.reshape(-1)].set(
+            jnp.maximum(d2, 0.0).reshape(-1), mode="drop")
+        return d, idx
+
+    return jax.vmap(one)(query, points)
+
+
+def knn_constraint_loss(xyz: jnp.ndarray, canno_xyz: jnp.ndarray,
+                        radius: float, neighborhood_size: int = 20,
+                        temperature: float = 0.1) -> jnp.ndarray:
+    """Ball-query rigidity constraint (`KnnConstraint`,
+    loss_utils.py:506-543): neighbour distances at time t must match the
+    canonical-frame distances, weighted by exp(-d_canno² · T).
+
+    xyz: [B,N,3] deformed positions; canno_xyz: [N,3] canonical.
+    NOTE the reference body calls the undefined `weighted_l2_loss_v1`;
+    we use mean(w · (d - d_canno)²) (shape-of-motion convention).
+    """
+    Bsz, N, _ = xyz.shape
+    _, nbr = ball_query(xyz, xyz, k=neighborhood_size, radius=radius)
+    nbr = nbr[..., 1:]  # drop self (first hit at d=0 is the point itself)
+    nbr_mask = nbr != -1
+    nbr_safe = jnp.where(nbr_mask, nbr, 0)
+
+    def gather_nb(pts, ids):  # pts [N,3], ids [N,K] → [N,K,3]
+        return pts[ids]
+
+    neigh = jax.vmap(gather_nb)(xyz, nbr_safe)
+    cur_d = jnp.linalg.norm(xyz[:, :, None, :] - neigh, axis=-1)
+    canno_neigh = jax.vmap(lambda ids: gather_nb(canno_xyz, ids))(nbr_safe)
+    canno_d = jax.lax.stop_gradient(
+        jnp.linalg.norm(canno_xyz[None, :, None, :] - canno_neigh, axis=-1))
+    w = jax.lax.stop_gradient(jnp.exp(-jnp.square(canno_d) * temperature))
+    w = jnp.where(nbr_mask, w, 0.0)
+    return jnp.mean(w * jnp.square(cur_d - canno_d))
+
+
+def compute_cluster_cohesion_loss(means3d: jnp.ndarray, labels: jnp.ndarray,
+                                  centroids: jnp.ndarray) -> jnp.ndarray:
+    """Per-cluster mean squared distance to the centroid, averaged over
+    clusters (loss_utils.py:546-574). Empty clusters contribute 0."""
+    C = centroids.shape[0]
+    onehot = jax.nn.one_hot(labels, C, dtype=means3d.dtype)  # [N,C]
+    # torch.mean over the (n_c, 3) block == mean over per-point mean-of-3
+    per_pt = jnp.mean(jnp.square(means3d[:, None, :] - centroids[None]),
+                      axis=-1)  # [N,C]
+    sums = jnp.sum(per_pt * onehot, axis=0)
+    counts = jnp.sum(onehot, axis=0)
+    per_cluster = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), 0.0)
+    return jnp.mean(per_cluster)
+
+
+# ---------------------------------------------------------------------------
+# SLERP path-distance losses (loss_utils.py:576-733)
+# ---------------------------------------------------------------------------
+
+def path_distance_loss_separate(ref_quats: jnp.ndarray,
+                                warped_quats: jnp.ndarray,
+                                num_samples: int = 100) -> jnp.ndarray:
+    """Min geodesic distance of each warped rotation to the sampled
+    R1→R2 / R2→R3 SLERP paths (loss_utils.py:576-630). Takes
+    quaternions directly ([3,4] and [N,4]); degenerate (equal-endpoint)
+    paths are excluded like the reference's allclose gates."""
+    t_vals = jnp.linspace(0.0, 1.0, num_samples)[1:-1]
+    paths = []
+    for a, b in ((0, 1), (1, 2)):
+        same = jnp.all(jnp.abs(ref_quats[a] - ref_quats[b]) <= 1e-6)
+        path = quaternion_slerp(ref_quats[a], ref_quats[b], t_vals)  # [S,4]
+        d = jax.vmap(lambda w: quaternion_distance(
+            jnp.broadcast_to(w, path.shape), path))(warped_quats)  # [N,S]
+        mind = jnp.min(d, axis=-1)
+        paths.append(jnp.where(same, jnp.inf, mind))
+    both = jnp.stack(paths)  # [2,N]
+    mind = jnp.min(both, axis=0)
+    mind = jnp.where(jnp.isinf(mind), 0.0, mind)  # both paths degenerate
+    return jnp.mean(mind)
+
+
+def _arc_min_distances(v_a, v_b, warped_points, num_samples):
+    theta = jnp.arccos(jnp.clip(jnp.dot(v_a, v_b), -1.0, 1.0))
+    t = jnp.linspace(0.0, 1.0, num_samples)[:, None]
+    sin_t = jnp.where(jnp.sin(theta) < 1e-12, 1.0, jnp.sin(theta))
+    arc = (jnp.sin((1 - t) * theta) / sin_t * v_a
+           + jnp.sin(t * theta) / sin_t * v_b)  # [S,3]
+    d = jnp.linalg.norm(warped_points[:, None, :] - arc[None], axis=-1)
+    return jnp.min(d, axis=-1)  # [N]
+
+
+def path_distance_loss_rotation(ref_rs: jnp.ndarray, warped_rs: jnp.ndarray,
+                                num_samples: int = 50) -> jnp.ndarray:
+    """Unit-sphere arc version (loss_utils.py:632-692): rotate the
+    normalized [1,1,1] probe by each matrix, penalize distance to the
+    great-circle arcs v1→v2, v2→v3. Sum over applicable arcs / N."""
+    base = jnp.full((3,), 1.0) / jnp.sqrt(3.0)
+    v1, v2, v3 = (ref_rs[i] @ base for i in range(3))
+    warped = jnp.einsum("nij,j->ni", warped_rs, base)
+    total = jnp.zeros(())
+    for a, b in ((v1, v2), (v2, v3)):
+        same = jnp.all(jnp.abs(a - b) <= 1e-6)
+        mind = _arc_min_distances(a, b, warped, num_samples)
+        total = total + jnp.where(same, 0.0, jnp.sum(mind))
+    return total / warped_rs.shape[0]
+
+
+def path_distance_loss_translation(ref_ts: jnp.ndarray,
+                                   warped_ts: jnp.ndarray,
+                                   num_samples: int = 50) -> jnp.ndarray:
+    """Straight-segment version for camera centres
+    (loss_utils.py:694-733)."""
+    t = jnp.linspace(0.0, 1.0, num_samples)[:, None]
+    total = jnp.zeros(())
+    for a, b in ((ref_ts[0], ref_ts[1]), (ref_ts[1], ref_ts[2])):
+        same = jnp.all(jnp.abs(a - b) <= 1e-6)
+        seg = (1 - t) * a + t * b  # [S,3]
+        d = jnp.linalg.norm(warped_ts[:, None, :] - seg[None], axis=-1)
+        total = total + jnp.where(same, 0.0, jnp.sum(jnp.min(d, axis=-1)))
+    return total / warped_ts.shape[0]
+
+
+# ---------------------------------------------------------------------------
+# depth priors (utils/depth_loss_utils.py — never imported by the
+# reference train path; ported for inventory parity)
+# ---------------------------------------------------------------------------
+
+def loss_depth_smoothness(depth: jnp.ndarray, img: jnp.ndarray):
+    """Edge-aware depth smoothness (depth_loss_utils.py:29-38).
+    depth [B,1,H,W], img [B,C,H,W]."""
+    igx = img[:, :, :, :-1] - img[:, :, :, 1:]
+    igy = img[:, :, :-1, :] - img[:, :, 1:, :]
+    wx = jnp.exp(-jnp.mean(jnp.abs(igx), axis=1, keepdims=True))
+    wy = jnp.exp(-jnp.mean(jnp.abs(igy), axis=1, keepdims=True))
+    num = (jnp.sum(jnp.abs(depth[:, :, :, :-1] - depth[:, :, :, 1:]) * wx)
+           + jnp.sum(jnp.abs(depth[:, :, :-1, :] - depth[:, :, 1:, :]) * wy))
+    return num / (jnp.sum(wx) + jnp.sum(wy))
+
+
+def loss_depth_grad(depth: jnp.ndarray, img: jnp.ndarray):
+    """Sign-of-gradient agreement (depth_loss_utils.py:40-52)."""
+    igx = img[:, :, :, :-1] - img[:, :, :, 1:]
+    igy = img[:, :, :-1, :] - img[:, :, 1:, :]
+    wx = igx / (jnp.abs(igx) + 1e-6)
+    wy = igy / (jnp.abs(igy) + 1e-6)
+    dgx = depth[:, :, :, :-1] - depth[:, :, :, 1:]
+    dgy = depth[:, :, :-1, :] - depth[:, :, 1:, :]
+    gx = dgx / (jnp.abs(dgx) + 1e-6)
+    gy = dgy / (jnp.abs(dgy) + 1e-6)
+    return (jnp.mean(jnp.abs(gx - wx)) + jnp.mean(jnp.abs(gy - wy)))
+
+
+def margin_l2_loss(pred, gt, margin, return_mask=False):
+    """Mean squared error over elements beyond `margin`
+    (depth_loss_utils.py:61-66)."""
+    mask = jnp.abs(pred - gt) > margin
+    val = _masked_mean(jnp.square(pred - gt), mask)
+    return (val, mask) if return_mask else val
+
+
+def margin_l1_loss(pred, gt, margin, return_mask=False):
+    """depth_loss_utils.py:68-74."""
+    mask = jnp.abs(pred - gt) > margin
+    val = _masked_mean(jnp.abs(pred - gt), mask)
+    return (val, mask) if return_mask else val
+
+
+def kl_loss(inp, target):
+    """F.kl_div(log_softmax(inp), softmax(target), 'batchmean')
+    (depth_loss_utils.py:76-79)."""
+    logp = jax.nn.log_softmax(inp, axis=-1)
+    q = jax.nn.softmax(target, axis=-1)
+    per = q * (jnp.log(jnp.maximum(q, 1e-38)) - logp)
+    return jnp.sum(per) / inp.shape[0]
+
+
+def patchify(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """F.unfold(kernel=stride=patch) → [B·P, patch²] for 1-channel input
+    (depth_loss_utils.py:81-83)."""
+    B, C, H, W = x.shape
+    ph, pw = H // patch_size, W // patch_size
+    x = x[:, :, :ph * patch_size, :pw * patch_size]
+    x = x.reshape(B, C, ph, patch_size, pw, patch_size)
+    # unfold flattens (C, kh, kw) per patch with C outermost
+    x = x.transpose(0, 2, 4, 1, 3, 5).reshape(B * ph * pw,
+                                              C * patch_size * patch_size)
+    return x
+
+
+def _norm_patches(p, std=None):
+    # torch.std applies Bessel's correction (ddof=1)
+    mean = jnp.mean(p, axis=1, keepdims=True)
+    s = jnp.std(p, axis=1, keepdims=True, ddof=1) if std is None else std
+    return (p - mean) / (s + 1e-2 * jnp.std(p.reshape(-1), ddof=1))
+
+
+def patch_norm_mse_loss(inp, target, patch_size, margin, return_mask=False):
+    """depth_loss_utils.py:85-88."""
+    return margin_l2_loss(_norm_patches(patchify(inp, patch_size)),
+                          _norm_patches(patchify(target, patch_size)),
+                          margin, return_mask)
+
+
+def patch_norm_mse_loss_global(inp, target, patch_size, margin,
+                               return_mask=False):
+    """depth_loss_utils.py:90-93 (global detached std)."""
+    si = jax.lax.stop_gradient(jnp.std(inp, ddof=1))
+    st = jax.lax.stop_gradient(jnp.std(target, ddof=1))
+    return margin_l2_loss(_norm_patches(patchify(inp, patch_size), si),
+                          _norm_patches(patchify(target, patch_size), st),
+                          margin, return_mask)
+
+
+def patch_norm_l1_loss(inp, target, patch_size, margin, return_mask=False):
+    """depth_loss_utils.py:100-103."""
+    return margin_l1_loss(_norm_patches(patchify(inp, patch_size)),
+                          _norm_patches(patchify(target, patch_size)),
+                          margin, return_mask)
+
+
+def patch_norm_l1_loss_global(inp, target, patch_size, margin,
+                              return_mask=False):
+    """depth_loss_utils.py:95-98."""
+    si = jax.lax.stop_gradient(jnp.std(inp, ddof=1))
+    st = jax.lax.stop_gradient(jnp.std(target, ddof=1))
+    return margin_l1_loss(_norm_patches(patchify(inp, patch_size), si),
+                          _norm_patches(patchify(target, patch_size), st),
+                          margin, return_mask)
