@@ -39,7 +39,10 @@ def main():
         W, H, F = 512, 288, 24
         n_stat, n_dyn = 20_000, 10_000
         cap_mult = 2
-        raster_cfg = RasterConfig(tiles_per_gauss=9, max_per_tile=384,
+        # max_per_tile=256: measured-lossless at protocol occupancy
+        # (bit-identical loss vs 384 on this scene; validated per-scene
+        # at train init by rasterize.validate_max_per_tile)
+        raster_cfg = RasterConfig(tiles_per_gauss=9, max_per_tile=256,
                                   tile_chunk=36)
         iters_timed = 20
     else:  # CPU fallback keeps the bench runnable anywhere (scaled down)
@@ -123,21 +126,31 @@ def main():
     from mobgs_tpu.data.cameras import Camera
     from mobgs_tpu.models import render as R
 
-    @jax.jit
-    def render_frame(ts_in, w2c, K_in, t):
-        cam = Camera(w2c=w2c, K=K_in, time=t)
-        return R.render_view(ts_in.stat, ts_in.dyn, ts_in.sandwich, cam,
-                             W, H, jnp.zeros(3), data.max_time,
-                             config=raster_cfg).image
+    # 10 frames per dispatch (statically unrolled inside ONE jit):
+    # per-dispatch tunnel latency otherwise dominates and the number
+    # measures the RPC path, not the chip (observed 54-83 fps variance
+    # for identical code).
+    n_frames = 10
+    fw2c = jnp.asarray(data.w2c[:n_frames])
+    fK = jnp.asarray(data.K[:n_frames])
+    ft = jnp.asarray(data.time[:n_frames])
 
-    img = render_frame(ts, batch.w2c[0], batch.K[0], batch.time[0])
-    jax.block_until_ready(img)
+    @jax.jit
+    def render_frames(ts_in, w2cs, Ks, ts_arr):
+        imgs = []
+        for i in range(n_frames):  # unrolled: vmap'd gather/scatter is ~3x
+            cam = Camera(w2c=w2cs[i], K=Ks[i], time=ts_arr[i])
+            imgs.append(R.render_view(ts_in.stat, ts_in.dyn, ts_in.sandwich,
+                                      cam, W, H, jnp.zeros(3), data.max_time,
+                                      config=raster_cfg).image)
+        return jnp.stack(imgs)
+
+    imgs = render_frames(ts, fw2c, fK, ft)
+    _ = float(jnp.sum(imgs[-1]))
     t0 = time.time()
-    for i in range(10):
-        img = render_frame(ts, batch.w2c[i % 2], batch.K[i % 2],
-                           batch.time[i % 2])
-    jax.block_until_ready(img)
-    fps = 10 / (time.time() - t0)
+    imgs = render_frames(ts, fw2c, fK, ft)
+    _ = float(jnp.sum(imgs[-1]))  # host pull forces true completion
+    fps = n_frames / (time.time() - t0)
 
     platform = jax.devices()[0].platform
     result = {

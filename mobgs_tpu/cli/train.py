@@ -194,6 +194,18 @@ def main(argv=None):
         print(f"[warn] initial splats span past the {raster_cfg.tiles_per_gauss}"
               f"-tile bbox budget; escalating tiles_per_gauss -> {_suggest}")
         raster_cfg = raster_cfg._replace(tiles_per_gauss=_suggest)
+    # measured validation of the per-tile capacity on the first camera
+    # (composite at cfg vs high capacity; escalate until they agree —
+    # ops/rasterize.py::validate_max_per_tile)
+    from mobgs_tpu.ops.rasterize import validate_max_per_tile
+    _k = validate_max_per_tile(_g.means, _g.quats, _g.scales, _g.opacity,
+                               _g.colors, _cam0.w2c, _cam0.K,
+                               data.width, data.height, raster_cfg)
+    if _k > raster_cfg.max_per_tile:
+        print(f"[warn] per-tile truncation at max_per_tile="
+              f"{raster_cfg.max_per_tile} is not transmittance-saturated "
+              f"on this scene; escalating -> {_k}")
+        raster_cfg = raster_cfg._replace(max_per_tile=_k)
 
     out_dir = args.model_path or os.path.join("output", args.expname)
     os.makedirs(out_dir, exist_ok=True)

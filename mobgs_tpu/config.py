@@ -160,7 +160,15 @@ class TPUParams:
     # tiles_per_gauss=36 costs ~4x in binning with no measured PSNR
     # gain at DyBluRF scales.
     tiles_per_gauss: int = 9
-    max_per_tile: int = 384
+    # 256 is measured-lossless at protocol occupancy (bit-identical loss
+    # vs 384 on the seesaw-shape batch; the kernel early-exits on
+    # transmittance long before the cap) and cuts the flow-ON step 24%
+    # — the per-tile pack gather/scatter scales with the cap, not the
+    # live count. cli/train.py validates it per-scene at init with a
+    # real composite compare (validate_max_per_tile) and escalates when
+    # truncation would be visible (e.g. tests/test_truncation.py's
+    # adversarial pile-up needs 384).
+    max_per_tile: int = 256
     tile_chunk: int = 36
     capacity_mult: float = 6.0   # Gaussian slot capacity = mult * init pts
     mesh_shape: tuple = ()       # e.g. (8,) for 8-way Gaussian sharding

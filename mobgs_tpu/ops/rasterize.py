@@ -19,6 +19,7 @@ from __future__ import annotations
 import functools
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -145,6 +146,44 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
     return RasterOut(images=images, alphas=alphas, depths=depths,
                      means2d=splats.means2d, radii=splats.radii,
                      sub_alphas=sub_alphas, tile_max=bins.max_count)
+
+
+def validate_max_per_tile(means, quats, scales, opacities, colors,
+                          viewmat, K, width: int, height: int,
+                          config: RasterConfig,
+                          budgets=(256, 384, 512, 1024),
+                          min_psnr_db: float = 60.0) -> int:
+    """Measured init-time validation of the per-tile capacity.
+
+    The per-tile list cap drops the FARTHEST entries (ops/tiles.py);
+    that is exact whenever transmittance saturates before the cap —
+    which depends on the scene's opacity/occupancy profile and cannot
+    be bounded cheaply. So measure it: composite one view at the
+    configured cap and at the highest budget with the real kernel and
+    escalate until they agree to ``min_psnr_db``. gsplat semantics
+    (uncapped lists, reference gaussian_renderer/__init__.py:201-214)
+    are recovered at the smallest budget that changes nothing.
+
+    Returns the validated ``max_per_tile`` (>= config.max_per_tile).
+    The per-iteration ``tile_max`` history counter covers drift during
+    training.
+    """
+    hi = budgets[-1]
+    ref = rasterize(means, quats, scales, opacities, colors, viewmat, K,
+                    width, height,
+                    config=config._replace(max_per_tile=hi))
+    for b in budgets:
+        if b < config.max_per_tile:
+            continue
+        if b == hi:
+            return hi
+        out = rasterize(means, quats, scales, opacities, colors, viewmat,
+                        K, width, height,
+                        config=config._replace(max_per_tile=b))
+        mse = float(jnp.mean((out.images[0] - ref.images[0]) ** 2))
+        if 10.0 * np.log10(1.0 / max(mse, 1e-12)) >= min_psnr_db:
+            return b
+    return hi
 
 
 def project_means2d(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,

@@ -152,25 +152,33 @@ def warp_images(imgs: jnp.ndarray, coords: jnp.ndarray,
       [K, H, W, C]; out[k, i, j] = imgs[k] sampled at coords[k, i, j]
       with torch border semantics (see module note above).
     """
+    return _warp_impl(imgs, coords, width, height)[0]
+
+
+def _warp_impl(imgs, coords, width, height):
     K, H, W, C = imgs.shape
-    outs = []
+    outs, blks = [], []
     for k in range(K):
         packed = _pack_footprint(imgs[k].reshape(H * W, C), width)
         idx, wx, wy, _, _ = _warp_prep(coords[k], width, height)
         blk = packed[idx]
+        blks.append(blk)
         top = blk[:, 0 * C:1 * C] * (1 - wx) + blk[:, 1 * C:2 * C] * wx
         bot = blk[:, 2 * C:3 * C] * (1 - wx) + blk[:, 3 * C:4 * C] * wx
         outs.append((top * (1 - wy) + bot * wy).reshape(H, W, C))
-    return jnp.stack(outs)
+    return jnp.stack(outs), blks
 
 
 def _warp_fwd(imgs, coords, width, height):
-    return warp_images(imgs, coords, width, height), (imgs, coords)
+    out, blks = _warp_impl(imgs, coords, width, height)
+    # the gathered footprints are residuals: the backward's coord grads
+    # reuse them instead of re-packing + re-gathering (random-access)
+    return out, (coords, jnp.stack(blks))
 
 
 def _warp_bwd(width, height, res, g):
-    imgs, coords = res
-    K, H, W, C = imgs.shape
+    coords, blks = res
+    K, H, W, C = g.shape
     P = H * W
     g_img_l, g_coord_l = [], []
     for k in range(K):
@@ -183,8 +191,7 @@ def _warp_bwd(width, height, res, g):
                 + jnp.roll(S[:, 1 * C:2 * C], 1, axis=0)
                 + jnp.roll(S[:, 2 * C:3 * C], W, axis=0)
                 + jnp.roll(S[:, 3 * C:4 * C], W + 1, axis=0))
-        # coord grads: recompute the footprint gather (cheap vs saving it)
-        blk = _pack_footprint(imgs[k].reshape(P, C), width)[idx]
+        blk = blks[k]
         v00, v10 = blk[:, 0 * C:1 * C], blk[:, 1 * C:2 * C]
         v01, v11 = blk[:, 2 * C:3 * C], blk[:, 3 * C:4 * C]
         dx = (v10 - v00) * (1 - wy) + (v11 - v01) * wy

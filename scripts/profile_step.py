@@ -25,7 +25,7 @@ from mobgs_tpu.train.step import init_train_state, make_train_step
 
 W, H, F = 512, 288, 24
 N_STAT, N_DYN = 20_000, 10_000
-CFG = RasterConfig(tiles_per_gauss=9, max_per_tile=384, tile_chunk=36)
+CFG = RasterConfig(tiles_per_gauss=9, max_per_tile=256, tile_chunk=36)
 NGEOM = 18  # 2 views x 9 exposures
 
 

@@ -46,9 +46,9 @@ def main():
 
     t0 = time.time()
     # Reduced shapes, PROTOCOL kernel config: tiles_per_gauss=9,
-    # max_per_tile=384 (the TPU bench values — multiples of pallas CH).
+    # max_per_tile=256 (the TPU bench values — multiples of pallas CH).
     W, H, F = 256, 144, 6
-    raster_cfg = RasterConfig(tiles_per_gauss=9, max_per_tile=384,
+    raster_cfg = RasterConfig(tiles_per_gauss=9, max_per_tile=256,
                               tile_chunk=36)
     rng = np.random.default_rng(0)
     n_stat, n_dyn = 800, 200

@@ -97,6 +97,33 @@ def test_escalation_fires_on_out_of_distribution_splats():
     assert p_big > p_proto + 1.0
 
 
+def test_validate_max_per_tile_escalates_on_pileup():
+    """The init-time composite-compare (cli/train.py wiring): the
+    adversarial 1200-splat pile-up saturates 384-deep tiles, so
+    max_per_tile=256 must be rejected (measured 46 dB vs oracle) and
+    escalated; a sparse scene keeps the configured 256."""
+    viewmat, K = _camera()
+    cfg = RasterConfig(tiles_per_gauss=9, max_per_tile=256, tile_chunk=36)
+
+    scene = _scene(1200, scale_cap=0.01 * EXTENT)
+    means, quats, scales, opac, colors = scene
+    k = rasterize.validate_max_per_tile(means, quats, scales, opac, colors,
+                                        viewmat, K, W, H, cfg)
+    assert k >= 384
+
+    sparse = _scene(120, scale_cap=0.01 * EXTENT, seed=9)
+    means, quats, scales, opac, colors = sparse
+    k = rasterize.validate_max_per_tile(means, quats, scales, opac, colors,
+                                        viewmat, K, W, H, cfg)
+    assert k == 256
+
+    # never returns below the configured value
+    cfg_hi = cfg._replace(max_per_tile=512)
+    k = rasterize.validate_max_per_tile(means, quats, scales, opac, colors,
+                                        viewmat, K, W, H, cfg_hi)
+    assert k >= 512
+
+
 def test_suggest_budgets_monotone():
     assert tiles.suggest_tiles_per_gauss(np.zeros(10)) == 9
     assert tiles.suggest_tiles_per_gauss(np.full(100, 4.0)) == 9
