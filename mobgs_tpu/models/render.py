@@ -112,6 +112,8 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
                 extra_colors: jnp.ndarray | None = None,
                 means2d_offset: jnp.ndarray | None = None,
                 subset_alpha_only: bool = False,
+                want_depth: bool = True,
+                want_alpha: bool = True,
                 config: RasterConfig = RasterConfig()) -> RenderOut:
     """Render one view at one time. Equivalent of reference `render()`.
 
@@ -123,13 +125,18 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
         losses consume; d_image/d_depth/s_image stay None. Matches the
         reference's 1-channel alpha launches (renderer :158-177) and
         skips the per-entry color gather + its backward scatter.
+      want_depth, want_alpha: composite the extended depth/weight
+        columns (ops/rasterize.py note). Callers consuming only images
+        disable both; the outputs' depth/alpha come back as zeros, and
+        the background term is skipped (zero-bg train passes only).
     """
     geom = assemble(stat, dyn, cam.time, max_time, delta_exposure)
     colors = geom.colors
-    bg = _bg9(bg3)
+    bg = _bg9(bg3) if want_alpha else None
     if extra_colors is not None:
         colors = jnp.concatenate([colors, extra_colors], axis=1)
-        bg = jnp.concatenate([bg, jnp.zeros(extra_colors.shape[1])])
+        if bg is not None:
+            bg = jnp.concatenate([bg, jnp.zeros(extra_colors.shape[1])])
 
     masks = [jnp.ones_like(geom.stat_mask)]
     sub_masks = []
@@ -144,6 +151,7 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
         pass_masks=jnp.stack(masks),
         alpha_masks=jnp.stack(sub_masks) if sub_masks else None,
         means2d_offset=means2d_offset,
+        want_depth=want_depth, want_alpha=want_alpha,
         config=config)
 
     rays = cam_rays(cam, width, height)

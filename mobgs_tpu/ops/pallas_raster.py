@@ -551,14 +551,26 @@ def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
                            width: int, height: int,
                            background: jnp.ndarray | None = None,
                            tile_chunk: int = 0,
-                           sub_opacities: jnp.ndarray | None = None):
+                           sub_opacities: jnp.ndarray | None = None,
+                           want_depth: bool = True,
+                           want_alpha: bool = True):
     """Drop-in replacement for `raster_jax.composite_tiles`.
 
     ``sub_opacities`` [N] runs a FUSED second transmittance chain (the
     subset-masked alpha pass) inside the same kernel launch; its alpha
     map is returned as a fourth output. One pack/gather serves both
     chains and the backward replays them together.
+
+    ``want_depth`` / ``want_alpha`` drop the extended depth/weight
+    columns: the kernel is opaque to XLA so unused outputs cannot be
+    dead-code-eliminated from outside — a pass consuming only the image
+    (the train step's latent renders) otherwise pays the extra columns
+    through the colors gather, the per-chunk MXU matmul, and the
+    backward's gcol scatter. Depth requires the weight column
+    (normalization); a background requires it too (blending).
     """
+    assert want_alpha or not want_depth, "depth needs the weight column"
+    assert want_alpha or background is None, "background blending needs alpha"
     ntx, nty = int(bins.n_tiles_x), int(bins.n_tiles_y)
     n_tiles = ntx * nty
     K = bins.gauss_ids.shape[1]
@@ -568,9 +580,13 @@ def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
     dt = colors.dtype
     has_sub = sub_opacities is not None
 
-    colors_ext = jnp.concatenate(
-        [colors, splats.depths[:, None], jnp.ones((N, 1), dt)], axis=1)
-    CE = C + 2
+    ext = [colors]
+    if want_depth:
+        ext.append(splats.depths[:, None])
+    if want_alpha:
+        ext.append(jnp.ones((N, 1), dt))
+    colors_ext = jnp.concatenate(ext, axis=1) if len(ext) > 1 else colors
+    CE = C + int(want_depth) + int(want_alpha)
     recs = _pack_recs(bins, splats, opacities, ch,
                       sub_opacities)                # [T, NC, R, ch]
     colors_t = colors_ext[bins.gauss_ids].reshape(
@@ -586,14 +602,19 @@ def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
     full = full.transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, CE)
     full = full[:height, :width]
     image = full[..., :C]
-    depth_acc = full[..., C]
-    # The MXU accumulates the weight column at TPU default (bf16-input)
-    # precision, so Σw can overshoot 1 by ~1e-3; gsplat's alpha is ≤ 1
-    # by construction, clamp to match.
-    alpha = jnp.minimum(full[..., C + 1], 1.0)
+    if want_alpha:
+        # The MXU accumulates the weight column at TPU default
+        # (bf16-input) precision, so Σw can overshoot 1 by ~1e-3;
+        # gsplat's alpha is ≤ 1 by construction, clamp to match.
+        alpha = jnp.minimum(full[..., C + int(want_depth)], 1.0)
+    else:
+        alpha = jnp.zeros(image.shape[:2], jnp.float32)
     if background is not None:
         image = image + background[None, None, :] * (1.0 - alpha[..., None])
-    exp_depth = depth_acc / jnp.maximum(alpha, 1e-10)
+    if want_depth:
+        exp_depth = full[..., C] / jnp.maximum(alpha, 1e-10)
+    else:
+        exp_depth = jnp.zeros(image.shape[:2], jnp.float32)
     if has_sub:
         sub = out2.reshape(nty, ntx, TILE, TILE)
         sub = sub.transpose(0, 2, 1, 3).reshape(nty * TILE, ntx * TILE)

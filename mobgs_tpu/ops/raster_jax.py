@@ -27,7 +27,9 @@ def composite_tiles(bins: TileBins, splats: ProjectedSplats,
                     colors: jnp.ndarray, opacities: jnp.ndarray,
                     width: int, height: int,
                     background: jnp.ndarray | None = None,
-                    tile_chunk: int = 36):
+                    tile_chunk: int = 36,
+                    want_depth: bool = True,
+                    want_alpha: bool = True):
     """Composite all tiles.
 
     Args:
@@ -38,10 +40,14 @@ def composite_tiles(bins: TileBins, splats: ProjectedSplats,
       width, height: output size (static).
       background: [C] or None.
       tile_chunk: tiles processed per scan step (memory knob).
+      want_depth, want_alpha: accepted for signature parity with the
+        Pallas compositor; this path is plain XLA, so unused outputs
+        are dead-code-eliminated without help.
 
     Returns:
       image [H, W, C], alpha [H, W], expected_depth [H, W].
     """
+    del want_depth, want_alpha
     ntx, nty = bins.n_tiles_x, bins.n_tiles_y
     n_tiles = ntx * nty
     K = bins.gauss_ids.shape[1]

@@ -54,6 +54,8 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
               pass_masks: jnp.ndarray | None = None,
               alpha_masks: jnp.ndarray | None = None,
               means2d_offset: jnp.ndarray | None = None,
+              want_depth: bool = True,
+              want_alpha: bool = True,
               config: RasterConfig = RasterConfig()) -> RasterOut:
     """Render one camera view with one or more subset passes.
 
@@ -73,6 +75,10 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
         positional gradient used for densification stats (the JAX
         equivalent of gsplat's retain_grad on info["means2d"],
         reference train.py:633-648).
+      want_depth, want_alpha: composite the extended depth/weight
+        columns (the Pallas kernel is opaque, so unused columns cost
+        real gather/matmul/scatter work — callers consuming only the
+        images should disable them; depths/alphas then return zeros).
 
     Returns:
       RasterOut with [P, ...] leading pass axis.
@@ -105,10 +111,12 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
             return pallas_raster.composite_tiles_pallas(
                 bins, splats, colors, opacities * mask, width, height,
                 background=background, tile_chunk=config.tile_chunk,
-                sub_opacities=opacities * sub_mask)
+                sub_opacities=opacities * sub_mask,
+                want_depth=want_depth, want_alpha=want_alpha)
         return composite(bins, splats, colors, opacities * mask,
                          width, height, background=background,
-                         tile_chunk=config.tile_chunk)
+                         tile_chunk=config.tile_chunk,
+                         want_depth=want_depth, want_alpha=want_alpha)
 
     # static unrolled loop over passes (pass count is tiny and static;
     # avoids vmap-of-pallas_call batching rules). The FIRST alpha-only

@@ -181,8 +181,12 @@ def make_forward(opt_cfg, width: int, height: int,
 
             def latent_render(w2c_e, d_expo):
                 cam_e = Camera(w2c=w2c_e, K=K, time=time)
+                # image-only: the latent renders feed pred_image alone,
+                # so skip the depth/weight columns (zero bg; the Pallas
+                # kernel cannot DCE them from outside)
                 out = R.render_view(stat, dyn, sandwich, cam_e, width,
                                     height, bg3, max_time, d_expo,
+                                    want_depth=False, want_alpha=False,
                                     config=raster_cfg)
                 return out.image, out.tile_max
 
@@ -212,10 +216,14 @@ def make_forward(opt_cfg, width: int, height: int,
                 mid2exp_coords = pix[None] + m2e
 
                 def flow_exp(d_expo, fl):
+                    # consumes image + flow channels + the SUBSET alpha
+                    # (fused chain) — the main pass's depth/weight
+                    # columns are dead weight here
                     out = R.render_view(stat, dyn, sandwich, cam, width,
                                         height, bg3, max_time, d_expo,
                                         get_dynamic=True, extra_colors=fl,
                                         subset_alpha_only=True,
+                                        want_depth=False, want_alpha=False,
                                         config=raster_cfg)
                     return out.image, out.d_alpha, out.flow, out.tile_max
 

@@ -42,6 +42,42 @@ def test_pallas_forward_matches_xla():
                                atol=1e-3, rtol=1e-3)
 
 
+def test_image_only_columns_match_full():
+    """want_depth/want_alpha=False drops the extended columns: the image
+    (zero background) and its gradients must match the full composite;
+    subset alpha chain unaffected."""
+    splats, bins, colors, opac = setup(seed=2)
+    full = pallas_raster.composite_tiles_pallas(
+        bins, splats, colors, opac, W, H, background=None,
+        sub_opacities=opac * 0.5)
+    slim = pallas_raster.composite_tiles_pallas(
+        bins, splats, colors, opac, W, H, background=None,
+        sub_opacities=opac * 0.5, want_depth=False, want_alpha=False)
+    np.testing.assert_allclose(np.asarray(slim[0]), np.asarray(full[0]),
+                               atol=2e-5, rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(slim[3]), np.asarray(full[3]),
+                               atol=2e-5)
+    assert not np.asarray(slim[1]).any() and not np.asarray(slim[2]).any()
+
+    def loss_full(c, o):
+        out = pallas_raster.composite_tiles_pallas(
+            bins, splats, c, o, W, H, background=None)
+        return jnp.sum(out[0] * jnp.cos(out[0]))
+
+    def loss_slim(c, o):
+        out = pallas_raster.composite_tiles_pallas(
+            bins, splats, c, o, W, H, background=None,
+            want_depth=False, want_alpha=False)
+        return jnp.sum(out[0] * jnp.cos(out[0]))
+
+    gf = jax.grad(loss_full, argnums=(0, 1))(colors, opac)
+    gs = jax.grad(loss_slim, argnums=(0, 1))(colors, opac)
+    np.testing.assert_allclose(np.asarray(gs[0]), np.asarray(gf[0]),
+                               atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(gs[1]), np.asarray(gf[1]),
+                               atol=1e-4, rtol=1e-3)
+
+
 def test_pallas_gradients_match_xla():
     splats, bins, colors, opac = setup(n=150, seed=1)
     bg = jnp.zeros(3)
