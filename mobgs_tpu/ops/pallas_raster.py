@@ -384,26 +384,37 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _pack_recs(bins: TileBins, splats: ProjectedSplats,
-               opacities: jnp.ndarray, ch: int,
-               sub_opacities: jnp.ndarray | None = None) -> jnp.ndarray:
-    """Gather per-tile records into the packed [T, n_chunks, R, ch]
-    layout (chunk axis leading so kernels index it dynamically without
-    lane-dim slicing). Row 6 carries the fused subset-pass opacities
-    when given (one shared gather serves both compositing chains)."""
+def _gather_records(bins: TileBins, splats: ProjectedSplats,
+                    opacities: jnp.ndarray, colors_ext: jnp.ndarray,
+                    ch: int, sub_opacities: jnp.ndarray | None = None):
+    """Gather per-tile records + colors with ONE row-major gather.
+
+    The scalar records and the channel columns ride a single [N, R+CE]
+    row-contiguous table so the forward is one row gather and — the part
+    that matters — the backward is ONE scatter-add over the [T, K]
+    entry indices instead of two (the record rows' column-axis scatter
+    plus the colors' row scatter; measured ~5 ms/geometry combined at
+    protocol scale, the largest per-geometry slice after binning).
+
+    Returns (recs [T, NC, R, ch], colors_t [T, NC, ch, CE]); record row
+    6 carries the fused subset-pass opacities when given."""
     ids = bins.gauss_ids                     # [T, K]
     T, K = ids.shape
-    rows = jnp.stack([
+    zeros = jnp.zeros_like(opacities)
+    table = jnp.stack([
         splats.means2d[:, 0], splats.means2d[:, 1],
         splats.conics[:, 0], splats.conics[:, 1], splats.conics[:, 2],
         opacities,
-        (jnp.zeros_like(opacities) if sub_opacities is None
-         else sub_opacities),
-        jnp.zeros_like(opacities),
-    ], axis=0)                               # [R, N]
-    packed = rows[:, ids]                    # [R, T, K]
-    packed = packed.reshape(R, T, K // ch, ch).transpose(1, 2, 0, 3)
-    return packed                            # [T, n_chunks, R, ch]
+        zeros if sub_opacities is None else sub_opacities,
+        zeros,
+    ], axis=1)                               # [N, R]
+    table = jnp.concatenate([table, colors_ext], axis=1)  # [N, R+CE]
+    gat = table[ids]                         # [T, K, R+CE]
+    CE = colors_ext.shape[1]
+    gat = gat.reshape(T, K // ch, ch, R + CE)
+    recs = gat[..., :R].transpose(0, 1, 3, 2)       # [T, NC, R, ch]
+    colors_t = gat[..., R:]                          # [T, NC, ch, CE]
+    return recs, colors_t
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
@@ -587,10 +598,8 @@ def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
         ext.append(jnp.ones((N, 1), dt))
     colors_ext = jnp.concatenate(ext, axis=1) if len(ext) > 1 else colors
     CE = C + int(want_depth) + int(want_alpha)
-    recs = _pack_recs(bins, splats, opacities, ch,
-                      sub_opacities)                # [T, NC, R, ch]
-    colors_t = colors_ext[bins.gauss_ids].reshape(
-        n_tiles, K // ch, ch, CE)                   # [T, NC, ch, CE]
+    recs, colors_t = _gather_records(bins, splats, opacities, colors_ext,
+                                     ch, sub_opacities)
     if has_sub:
         out, out2 = _composite_core_sub(n_tiles, K, ntx, ch, recs,
                                         colors_t, bins.counts)
