@@ -86,7 +86,14 @@ def query(params: HexPlaneParams, pts: jnp.ndarray,
     Returns [N, feat_dim] (concat over scales, product over planes).
     """
     amax, amin = params.aabb[0], params.aabb[1]
-    ptsn = jnp.clip((pts - amin) * (2.0 / (amax - amin)) - 1.0, -1.0, 1.0)
+    # EXACT reference semantics (hexplane.py:19-21): normalize_aabb is
+    # (pts - aabb[0]) * 2/(aabb[1] - aabb[0]) - 1 with aabb = [max, min]
+    # — i.e. the coordinate comes out MIRRORED (1-2u, not 2u-1). The
+    # orientation is invisible when training from scratch, but grids
+    # loaded from a reference deformation.pth would sample flipped
+    # without it (caught by tests/test_reference_parity.py, which runs
+    # the reference's own module).
+    ptsn = jnp.clip((pts - amax) * (2.0 / (amin - amax)) - 1.0, -1.0, 1.0)
     # time also mapped to [-1, 1] plane coords? reference passes raw t in
     # [0,1] concat'd then samples with align_corners grid_sample, whose
     # input domain is [-1,1]; it relies on border padding for t>0. We
