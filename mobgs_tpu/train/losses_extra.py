@@ -514,3 +514,177 @@ def patch_norm_l1_loss_global(inp, target, patch_size, margin,
     return margin_l1_loss(_norm_patches(patchify(inp, patch_size), si),
                           _norm_patches(patchify(target, patch_size), st),
                           margin, return_mask)
+
+
+# ---------------------------------------------------------------------------
+# Depth-volume warping ops (scene/deformation.py:509-638) — dead in the
+# reference train path (nothing calls them in train.py/eval.py), ported
+# for §2.3 inventory parity and parity-tested against the reference's
+# own module (tests/test_reference_parity.py).
+
+
+def _grid_sample_ac(img: jnp.ndarray, grid: jnp.ndarray,
+                    padding_mode: str = "zeros") -> jnp.ndarray:
+    """torch F.grid_sample(bilinear, align_corners=True) for one image.
+
+    img [C, H, W]; grid [Ho, Wo, 2] normalized coords in [-1, 1]
+    (x, y). 'zeros': out-of-bounds corner taps contribute 0; 'border':
+    indices clamp.
+    """
+    C, H, W = img.shape
+    x = (grid[..., 0] + 1.0) * 0.5 * (W - 1)
+    y = (grid[..., 1] + 1.0) * 0.5 * (H - 1)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx = x - x0
+    wy = y - y0
+
+    def at(iy, ix):
+        iyc = jnp.clip(iy.astype(jnp.int32), 0, H - 1)
+        ixc = jnp.clip(ix.astype(jnp.int32), 0, W - 1)
+        v = img[:, iyc, ixc]  # [C, Ho, Wo]
+        if padding_mode == "zeros":
+            ok = (iy >= 0) & (iy <= H - 1) & (ix >= 0) & (ix <= W - 1)
+            v = jnp.where(ok[None], v, 0.0)
+        return v
+
+    top = at(y0, x0) * (1 - wx) + at(y0, x0 + 1) * wx
+    bot = at(y0 + 1, x0) * (1 - wx) + at(y0 + 1, x0 + 1) * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _pixel_grid_h(height: int, width: int) -> jnp.ndarray:
+    """Homogeneous integer pixel grid [3, H*W] (deformation.py set_id_grid
+    semantics: x=j, y=i, 1 — no half-pixel offset)."""
+    j, i = jnp.meshgrid(jnp.arange(width, dtype=jnp.float32),
+                        jnp.arange(height, dtype=jnp.float32))
+    return jnp.stack([j.reshape(-1), i.reshape(-1),
+                      jnp.ones(height * width, jnp.float32)])
+
+
+def inverse_warp_grid_rt1_rt2(depth: jnp.ndarray, w2c1: jnp.ndarray,
+                              w2c2: jnp.ndarray, K: jnp.ndarray,
+                              K_inv: jnp.ndarray,
+                              padding_mode: str = "zeros") -> jnp.ndarray:
+    """Normalized frame-2 sample grid for frame-1 pixels at given depth
+    (deformation.py:704-756, single view — vmap/loop the batch outside).
+
+    depth [H, W]; w2c* [3/4, 4] (rows 0:3 used); K/K_inv [3, 3].
+    Returns [H, W, 2] grid for `_grid_sample_ac`; with 'zeros' padding,
+    out-of-range coords are set to 2 exactly like the reference.
+    """
+    H, W = depth.shape
+    R1, t1 = w2c1[:3, :3], w2c1[:3, 3:4]
+    R2, t2 = w2c2[:3, :3], w2c2[:3, 3:4]
+    c1 = K_inv @ _pixel_grid_h(H, W) * depth.reshape(1, -1)  # [3, HW]
+    w = R1.T @ c1 - R1.T @ t1
+    c2 = R2 @ w + t2
+    z = c2[2:3]
+    z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    p2 = K @ (c2 / z)
+    xn = 2.0 * p2[0] / (W - 1) - 1.0
+    yn = 2.0 * p2[1] / (H - 1) - 1.0
+    if padding_mode == "zeros":
+        xn = jnp.where((xn > 1) | (xn < -1), 2.0, xn)
+        yn = jnp.where((yn > 1) | (yn < -1), 2.0, yn)
+    return jnp.stack([xn, yn], axis=-1).reshape(H, W, 2)
+
+
+def _disp_buckets(no_bucket: int) -> jnp.ndarray:
+    """Linear disparity bins over depth (0.1, 100) (deformation.py:515-520)."""
+    min_disp, max_disp = 1.0 / 100.0, 1.0 / 0.1
+    zero2one = jnp.linspace(0.0, 1.0, no_bucket)
+    return zero2one * (max_disp - min_disp) + min_disp
+
+
+def direct_warp_rt1_rt2(img: jnp.ndarray, depth: jnp.ndarray,
+                        w2c1: jnp.ndarray, w2c2: jnp.ndarray,
+                        K: jnp.ndarray, K_inv: jnp.ndarray,
+                        padding_mode: str = "zeros", ret_grid: bool = False,
+                        no_bucket: int = 64):
+    """Forward ("direct") warp via a discretized disparity volume
+    (deformation.py:509-555, single view).
+
+    img [C, H, W]; depth [H, W]. Returns (fw_img [C, H, W],
+    occ_map [H, W][, grid_vol [no_bucket, H, W, 2]]). Depths outside
+    (0.1, 100) land in the edge buckets (the reference's F.one_hot would
+    raise there instead; this port saturates).
+    """
+    C, H, W = img.shape
+    buckets = _disp_buckets(no_bucket)
+    disp = 1.0 / depth
+    # torch.bucketize(right=True) == searchsorted side='right'
+    idx = jnp.clip(jnp.searchsorted(buckets, disp.reshape(-1), side="right"),
+                   0, no_bucket - 1)
+    disp_vol = jax.nn.one_hot(idx, no_bucket, dtype=img.dtype)  # [HW, B]
+    disp_vol = disp_vol.T.reshape(no_bucket, H, W)
+
+    depth_levels = 1.0 / buckets
+    grid_vol = jax.vmap(
+        lambda dl: inverse_warp_grid_rt1_rt2(
+            jnp.full((H, W), dl), w2c1, w2c2, K, K_inv, padding_mode)
+    )(depth_levels)                                     # [B, H, W, 2]
+
+    fw_img = jax.vmap(lambda g: _grid_sample_ac(img, g, padding_mode))(
+        grid_vol)                                       # [B, C, H, W]
+    dprob_ = jax.vmap(lambda dv, g: _grid_sample_ac(dv[None], g,
+                                                    padding_mode)[0])(
+        disp_vol, grid_vol)                             # [B, H, W]
+    dprob = jax.nn.softmax(dprob_, axis=0)
+    out = jnp.sum(fw_img * dprob[:, None], axis=0)      # [C, H, W]
+    occ = jnp.minimum(jax.lax.stop_gradient(jnp.sum(dprob_, axis=0)), 1.0)
+    if ret_grid:
+        return out, occ, grid_vol
+    return out, occ
+
+
+def occ_rt1_rt2(depth: jnp.ndarray, w2c1: jnp.ndarray, w2c2: jnp.ndarray,
+                K: jnp.ndarray, K_inv: jnp.ndarray,
+                padding_mode: str = "zeros",
+                no_bucket: int = 128) -> jnp.ndarray:
+    """Occlusion map from the warped disparity volume
+    (deformation.py:557-588, single view; bucketize right=False here).
+    depth [H, W] → occ [H, W]."""
+    H, W = depth.shape
+    buckets = _disp_buckets(no_bucket)
+    disp = 1.0 / depth
+    idx = jnp.clip(jnp.searchsorted(buckets, disp.reshape(-1), side="left"),
+                   0, no_bucket - 1)
+    disp_vol = jax.nn.one_hot(idx, no_bucket,
+                              dtype=depth.dtype).T.reshape(no_bucket, H, W)
+    depth_levels = 1.0 / buckets
+    grid_vol = jax.vmap(
+        lambda dl: inverse_warp_grid_rt1_rt2(
+            jnp.full((H, W), dl), w2c1, w2c2, K, K_inv, padding_mode)
+    )(depth_levels)
+    dprob_ = jax.vmap(lambda dv, g: _grid_sample_ac(dv[None], g,
+                                                    padding_mode)[0])(
+        disp_vol, grid_vol)
+    return jnp.minimum(jnp.sum(dprob_, axis=0), 1.0)
+
+
+def warp_pc2flow(img: jnp.ndarray, pc2: jnp.ndarray, w2c2: jnp.ndarray,
+                 K: jnp.ndarray, padding_mode: str = "zeros",
+                 ret_grid: bool = False):
+    """Warp by projecting a per-pixel world point cloud
+    (deformation.py:590-638, single view).
+
+    img [C, H, W]; pc2 [3, H, W] world coords per pixel; w2c2 [3/4, 4].
+    Returns projected_img [C, H, W] (+ grid [H, W, 2] if ret_grid).
+    """
+    C, H, W = img.shape
+    R2, t2 = w2c2[:3, :3], w2c2[:3, 3:4]
+    c2 = R2 @ pc2.reshape(3, -1) + t2
+    z = c2[2:3]
+    z = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    p2 = K @ (c2 / z)
+    xn = 2.0 * p2[0] / (W - 1) - 1.0
+    yn = 2.0 * p2[1] / (H - 1) - 1.0
+    if padding_mode == "zeros":
+        xn = jnp.where((xn > 1) | (xn < -1), 2.0, xn)
+        yn = jnp.where((yn > 1) | (yn < -1), 2.0, yn)
+    grid = jnp.stack([xn, yn], axis=-1).reshape(H, W, 2)
+    out = _grid_sample_ac(img, grid, padding_mode)
+    if ret_grid:
+        return out, grid
+    return out
