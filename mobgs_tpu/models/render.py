@@ -114,6 +114,7 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
                 subset_alpha_only: bool = False,
                 want_depth: bool = True,
                 want_alpha: bool = True,
+                precomputed: tuple | None = None,
                 config: RasterConfig = RasterConfig()) -> RenderOut:
     """Render one view at one time. Equivalent of reference `render()`.
 
@@ -129,8 +130,15 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
         columns (ops/rasterize.py note). Callers consuming only images
         disable both; the outputs' depth/alpha come back as zeros, and
         the background term is skipped (zero-bg train passes only).
+      precomputed: (SceneGeom, ProjectedSplats) from assemble_project —
+        skips the internal assemble + projection (see the splats note in
+        ops/rasterize.rasterize; delta_exposure is then ignored).
     """
-    geom = assemble(stat, dyn, cam.time, max_time, delta_exposure)
+    if precomputed is not None:
+        geom, splats = precomputed
+    else:
+        geom = assemble(stat, dyn, cam.time, max_time, delta_exposure)
+        splats = None
     colors = geom.colors
     bg = _bg9(bg3) if want_alpha else None
     if extra_colors is not None:
@@ -152,7 +160,7 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
         alpha_masks=jnp.stack(sub_masks) if sub_masks else None,
         means2d_offset=means2d_offset,
         want_depth=want_depth, want_alpha=want_alpha,
-        config=config)
+        splats=splats, config=config)
 
     rays = cam_rays(cam, width, height)
     image = apply_sandwich(sandwich, out.images[0, ..., :9], rays)
@@ -185,17 +193,32 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
                      tile_max=out.tile_max)
 
 
+def assemble_project(stat: G.GaussianState, dyn: G.GaussianState,
+                     cam: Camera, width: int, height: int,
+                     max_time: float = 1.0, delta_exposure=None,
+                     config: RasterConfig = RasterConfig()):
+    """Assemble the combined set at (exposure-shifted) time and project
+    it — returns (SceneGeom, ProjectedSplats) for render_view's
+    ``precomputed`` hook, so a caller that consumes means2d BEFORE
+    compositing (the train step's flow colors) evaluates the geometry
+    exactly once even inside a `lax.scan` body (where XLA CSE cannot
+    dedupe a re-projection across regions)."""
+    geom = assemble(stat, dyn, cam.time, max_time, delta_exposure)
+    splats = projection.project(geom.means, geom.quats, geom.scales,
+                                cam.w2c, cam.K, width, height,
+                                eps2d=config.eps2d, near=config.near,
+                                sigma_cut=config.sigma_cut)
+    return geom, splats
+
+
 def project_combined(stat: G.GaussianState, dyn: G.GaussianState, cam: Camera,
                      width: int, height: int, max_time: float = 1.0,
                      delta_exposure=None,
                      config: RasterConfig = RasterConfig()) -> jnp.ndarray:
     """2D projections of the combined set at a time — for flow colors
     (parity with `fully_fused_projection` use, renderer :187-199)."""
-    geom = assemble(stat, dyn, cam.time, max_time, delta_exposure)
-    splats = projection.project(geom.means, geom.quats, geom.scales,
-                                cam.w2c, cam.K, width, height,
-                                eps2d=config.eps2d, near=config.near,
-                                sigma_cut=config.sigma_cut)
+    _, splats = assemble_project(stat, dyn, cam, width, height, max_time,
+                                 delta_exposure, config)
     return splats.means2d
 
 

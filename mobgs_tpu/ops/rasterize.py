@@ -56,6 +56,7 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
               means2d_offset: jnp.ndarray | None = None,
               want_depth: bool = True,
               want_alpha: bool = True,
+              splats: projection.ProjectedSplats | None = None,
               config: RasterConfig = RasterConfig()) -> RasterOut:
     """Render one camera view with one or more subset passes.
 
@@ -79,13 +80,22 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
         columns (the Pallas kernel is opaque, so unused columns cost
         real gather/matmul/scatter work — callers consuming only the
         images should disable them; depths/alphas then return zeros).
+      splats: precomputed ProjectedSplats for (means..., viewmat, K) —
+        skips the in-call projection. Callers that need the 2D centres
+        BEFORE compositing (e.g. the train step's per-exposure flow
+        colors are `mid2d - means2d` of the SAME pass) project once and
+        pass the record here, instead of relying on XLA CSE to dedupe a
+        re-projection — CSE only works when both live in one unrolled
+        program region, not across `lax.scan` bodies.
 
     Returns:
       RasterOut with [P, ...] leading pass axis.
     """
-    splats = projection.project(means, quats, scales, viewmat, K,
-                                width, height, eps2d=config.eps2d,
-                                near=config.near, sigma_cut=config.sigma_cut)
+    if splats is None:
+        splats = projection.project(means, quats, scales, viewmat, K,
+                                    width, height, eps2d=config.eps2d,
+                                    near=config.near,
+                                    sigma_cut=config.sigma_cut)
     if means2d_offset is not None:
         splats = splats._replace(means2d=splats.means2d + means2d_offset)
     bins = tiles.bin_gaussians(

@@ -95,12 +95,39 @@ def init_train_state(stat, dyn, sandwich, blce_state,
         step=jnp.zeros((), jnp.int32), deform=deform)
 
 
+def _loop(body, xs, n: int, carry_init, use_scan):
+    """Run ``body(carry, x_i) -> (carry, y_i)`` over the leading axis of
+    the stacked pytree ``xs``, returning (carry, stacked ys).
+
+    use_scan truthy lowers the body via `lax.scan` — the passes run
+    serially either way on the single TensorCore, but the fully unrolled
+    form compiles the body once PER PASS (762 s for the flow-ON step at
+    protocol shapes, round-3 VERDICT item 2). An int value > 1 is passed
+    as scan's ``unroll`` (k bodies per loop iteration): XLA's static
+    schedule can only overlap DMA/compute across passes that live in the
+    same program region, so some unrolling buys back cross-pass overlap
+    at a fraction of the full compile cost. The batched-gather/scatter
+    vmap cliff (CLAUDE.md) does not apply: scan's body sees unbatched
+    operands, so gathers/scatters lower exactly as in the unrolled
+    program."""
+    if use_scan:
+        unroll = use_scan if isinstance(use_scan, int) and use_scan > 1 else 1
+        return jax.lax.scan(body, carry_init, xs, unroll=unroll)
+    carry = carry_init
+    ys = []
+    for i in range(n):
+        carry, y = body(carry, jax.tree.map(lambda a: a[i], xs))
+        ys.append(y)
+    return carry, jax.tree.map(lambda *zs: jnp.stack(zs), *ys)
+
+
 def make_forward(opt_cfg, width: int, height: int,
                  max_time: float, num_warp: int = 9,
                  raster_cfg: RasterConfig = RasterConfig(),
                  use_blce: bool = True,
                  with_latents: bool = True,
-                 with_exposure_delta: bool = True):
+                 with_exposure_delta: bool = True,
+                 scan_passes=False, scan_views=False):
     """Build the (un-jitted) forward loss over a camera batch — the
     differentiated core of the train step, also used standalone by the
     stage profiler (scripts/profile_step.py).
@@ -112,6 +139,10 @@ def make_forward(opt_cfg, width: int, height: int,
       with_exposure_delta: False before ``start_warp_dynamic`` — latent
         renders use the warped poses but delta_exposure = 0
         (train.py:503-507).
+      scan_passes: loop the per-exposure latent/flow passes with
+        `lax.scan` instead of static unrolling — numerically identical,
+        compiles each pass body once; int > 1 = scan's unroll factor
+        (see _loop). scan_views does the same for the B-view batch axis.
     """
     E = num_warp
     half = E // 2
@@ -140,29 +171,86 @@ def make_forward(opt_cfg, width: int, height: int,
                 lat_w2c = jnp.broadcast_to(w2c, (E, 4, 4))
                 expo = jnp.zeros((E,))
 
-            # ---- flow displacement colors (computed BEFORE the mid
-            # render so the mid→exp maps for ALL exposures ride the mid
-            # pass as extra channels — the reference's 9 separate
-            # mid-time get_flow rasterizations, renderer :379-491,
-            # collapse into zero extra geometry evaluations; XLA CSEs
-            # the duplicate mid projection)
+            # ---- per-exposure passes: ONE loop whose body holds the
+            # latent sharp render (train.py:502-541) AND the fused
+            # exposure-flow pass (train.py:564-584). Fusing matters for
+            # the scanned form: the flow pass needs its own means2d both
+            # as flow colors (`mid2d - means2d`, renderer :187-199) and
+            # for compositing — computing them in one body via
+            # assemble_project evaluates each exposure geometry exactly
+            # once, which the unrolled program got from XLA CSE but a
+            # pass-per-scan structure cannot (scan bodies are separate
+            # program regions; this was the bulk of scan's +200 ms over
+            # unroll at protocol shapes).
             if compute_flow:
-                ratios = [(e - half) / half for e in range(E)]
+                ratios = jnp.asarray([(e - half) / half for e in range(E)],
+                                     jnp.float32)
                 Ntot = stat.capacity + dyn.capacity
-                mid2d = R.project_combined(stat, dyn, cam, width, height,
-                                           max_time, None, raster_cfg)
-                # static unroll over exposures: batched (vmapped)
-                # gather/scatter lowers ~3x slower on TPU than the same
-                # ops unrolled (measured 327 vs 115 ms for the full
-                # composite fwd+bwd at protocol shapes)
-                exp2d = jnp.stack([
+                mid2d = jax.lax.stop_gradient(
                     R.project_combined(stat, dyn, cam, width, height,
-                                       max_time, d, raster_cfg)
-                    for d in ratios])
-                flow2d = jax.lax.stop_gradient(mid2d[None] - exp2d)  # [E,N,2]
+                                       max_time, None, raster_cfg))
+            other = jnp.asarray([i for i in range(E) if i != half],
+                                jnp.int32)
+
+            def pass_body(carry, xs):
+                if compute_flow:
+                    w2c_e, d_expo, d_flow = xs
+                else:
+                    w2c_e, d_expo = xs
+                cam_e = Camera(w2c=w2c_e, K=K, time=time)
+                # latent render, image-only: it feeds pred_image alone,
+                # so skip the depth/weight columns (zero bg; the Pallas
+                # kernel cannot DCE them from outside)
+                lat = R.render_view(stat, dyn, sandwich, cam_e, width,
+                                    height, bg3, max_time,
+                                    d_expo if with_exposure_delta else None,
+                                    want_depth=False, want_alpha=False,
+                                    config=raster_cfg)
+                tm = jnp.maximum(carry, jnp.asarray(lat.tile_max, jnp.int32))
+                if not compute_flow:
+                    return tm, lat.image
+                # fused flow pass at the ORIGINAL camera, exposure-time
+                # geometry: project once, use means2d for the flow
+                # colors AND the composite; consumes image + flow
+                # channels + the SUBSET dyn alpha (fused chain)
+                geom_f, splats_f = R.assemble_project(
+                    stat, dyn, cam, width, height, max_time, d_flow,
+                    raster_cfg)
+                flow2d_e = jax.lax.stop_gradient(mid2d - splats_f.means2d)
+                fout = R.render_view(stat, dyn, sandwich, cam, width,
+                                     height, bg3, max_time,
+                                     get_dynamic=True,
+                                     extra_colors=flow2d_e,
+                                     subset_alpha_only=True,
+                                     want_depth=False, want_alpha=False,
+                                     precomputed=(geom_f, splats_f),
+                                     config=raster_cfg)
+                tm = jnp.maximum(tm, jnp.asarray(fout.tile_max, jnp.int32))
+                return tm, (lat.image, fout.image, fout.d_alpha, fout.flow,
+                            flow2d_e)
+
+            if with_latents:
+                xs = ((lat_w2c[other], expo[other], ratios[other])
+                      if compute_flow else (lat_w2c[other], expo[other]))
+                tile_max, ys = _loop(pass_body, xs, E - 1,
+                                     jnp.zeros((), jnp.int32), scan_passes)
+            else:
+                tile_max = jnp.zeros((), jnp.int32)
+
+            # ---- mid→exposure flow colors for the mid render: the
+            # reference's 9 separate mid-time get_flow rasterizations
+            # (renderer :379-491) ride the mid pass as extra channels
+            # (zero extra geometry evaluations); the mid exposure's own
+            # row is exactly zero (same geometry)
+            if compute_flow:
+                lat_imgs, f_img, f_alpha, f_e2m, flow2d_o = ys
+                zcol = jnp.zeros((1,) + flow2d_o.shape[1:])
+                flow2d = jnp.concatenate(
+                    [flow2d_o[:half], zcol, flow2d_o[half:]])   # [E, N, 2]
                 mid_extra = (-flow2d).transpose(1, 0, 2).reshape(Ntot, 2 * E)
             else:
                 mid_extra = None
+                lat_imgs = ys if with_latents else None
 
             # ---- mid render at the ORIGINAL camera (train.py:441-469).
             # The reference also renders a static-only pass here, but its
@@ -174,37 +262,16 @@ def make_forward(opt_cfg, width: int, height: int,
                                 get_dynamic=True, means2d_offset=offset,
                                 extra_colors=mid_extra,
                                 subset_alpha_only=True, config=raster_cfg)
-
-            # ---- the other E-1 latent sharp renders (train.py:502-541),
-            # statically unrolled (see the vmap note above)
-            other = [i for i in range(E) if i != half]
-
-            def latent_render(w2c_e, d_expo):
-                cam_e = Camera(w2c=w2c_e, K=K, time=time)
-                # image-only: the latent renders feed pred_image alone,
-                # so skip the depth/weight columns (zero bg; the Pallas
-                # kernel cannot DCE them from outside)
-                out = R.render_view(stat, dyn, sandwich, cam_e, width,
-                                    height, bg3, max_time, d_expo,
-                                    want_depth=False, want_alpha=False,
-                                    config=raster_cfg)
-                return out.image, out.tile_max
+            tile_max = jnp.maximum(tile_max,
+                                   jnp.asarray(mid.tile_max, jnp.int32))
 
             if with_latents:
-                lat_outs = [latent_render(
-                    lat_w2c[e], expo[e] if with_exposure_delta else None)
-                    for e in other]
-                lat_imgs = [o[0] for o in lat_outs]
-                tile_max = jnp.maximum(
-                    jnp.asarray(mid.tile_max),
-                    jnp.max(jnp.stack([jnp.asarray(o[1]) for o in lat_outs])))
-                pred_image = (sum(lat_imgs) + mid.image) / E + 1e-10
+                pred_image = (jnp.sum(lat_imgs, axis=0) + mid.image) / E + 1e-10
             else:
                 # pre-start_warp: the prediction IS the mid render
-                tile_max = jnp.asarray(mid.tile_max)
                 pred_image = mid.image
 
-            # ---- exposure flow consistency (train.py:564-584). The
+            # ---- exposure flow consistency loss (train.py:564-584). The
             # exposure-time passes double as the latent image/alpha
             # sources; the mid exposure (delta=0) reuses the mid render
             # outright, so flow costs E-1 extra geometry evaluations
@@ -215,35 +282,14 @@ def make_forward(opt_cfg, width: int, height: int,
                 m2e = m2e.transpose(2, 0, 1, 3)               # [E, H, W, 2]
                 mid2exp_coords = pix[None] + m2e
 
-                def flow_exp(d_expo, fl):
-                    # consumes image + flow channels + the SUBSET alpha
-                    # (fused chain) — the main pass's depth/weight
-                    # columns are dead weight here
-                    out = R.render_view(stat, dyn, sandwich, cam, width,
-                                        height, bg3, max_time, d_expo,
-                                        get_dynamic=True, extra_colors=fl,
-                                        subset_alpha_only=True,
-                                        want_depth=False, want_alpha=False,
-                                        config=raster_cfg)
-                    return out.image, out.d_alpha, out.flow, out.tile_max
-
-                # static unroll over the E-1 exposure passes; slot the
-                # mid render into position `half`
-                lat_f_l, lat_a_l, e2m_l = [], [], []
-                for e in range(E):
-                    if e == half:
-                        lat_f_l.append(mid.image)
-                        lat_a_l.append(mid.d_alpha)
-                        e2m_l.append(jnp.zeros((height, width, 2)))
-                    else:
-                        fi, fa, fe, ftm = flow_exp(ratios[e], flow2d[e])
-                        tile_max = jnp.maximum(tile_max, jnp.asarray(ftm))
-                        lat_f_l.append(fi)
-                        lat_a_l.append(fa)
-                        e2m_l.append(fe)
-                lat_f_imgs = jnp.stack(lat_f_l)
-                lat_alphas = jnp.stack(lat_a_l)
-                e2m = jnp.stack(e2m_l)
+                zrow = jnp.zeros((1, height, width, 2))
+                lat_f_imgs = jnp.concatenate(
+                    [f_img[:half], mid.image[None], f_img[half:]], axis=0)
+                lat_alphas = jnp.concatenate(
+                    [f_alpha[:half], mid.d_alpha[None], f_alpha[half:]],
+                    axis=0)
+                e2m = jnp.concatenate(
+                    [f_e2m[:half], zrow, f_e2m[half:]], axis=0)
                 exp2mid_coords = pix[None] + e2m
                 flow_l = losses.flow_warp_loss(
                     mid.image, lat_f_imgs, lat_alphas, mid.d_alpha,
@@ -254,15 +300,18 @@ def make_forward(opt_cfg, width: int, height: int,
             return dict(pred=pred_image, depth=mid.depth, d_alpha=mid.d_alpha,
                         radii=mid.radii, flow_l=flow_l, tile_max=tile_max)
 
-        # static unroll over the camera batch (B is 2 in the protocol;
-        # batched gather/scatter under vmap costs ~3x on TPU)
-        per_view_outs = [
-            per_view(batch.view_idx[b], batch.w2c[b], batch.K[b],
-                     batch.time[b], batch.image[b], batch.blur_feat[b],
-                     offsets[b])
-            for b in range(Bsz)]
-        outs = {k: jnp.stack([o[k] for o in per_view_outs])
-                for k in per_view_outs[0]}
+        # loop over the camera batch (B is 2 in the protocol). vmap is
+        # NOT used here: batched gather/scatter lowers ~3x slower on TPU
+        # (CLAUDE.md invariant); scan/unroll keep per-view ops unbatched.
+        def view_body(carry, xs):
+            vi, w2c_b, K_b, t_b, img_b, bf_b, off_b = xs
+            return carry, per_view(vi, w2c_b, K_b, t_b, img_b, bf_b, off_b)
+
+        _, outs = _loop(
+            view_body,
+            (batch.view_idx, batch.w2c, batch.K, batch.time, batch.image,
+             batch.blur_feat, offsets),
+            Bsz, 0, scan_views)
 
         pred = outs["pred"].transpose(0, 3, 1, 2)         # [B,3,H,W]
         gt = batch.image.transpose(0, 3, 1, 2)
@@ -293,7 +342,8 @@ def make_train_step(opt_cfg, width: int, height: int,
                     use_blce: bool = True,
                     with_latents: bool = True,
                     with_exposure_delta: bool = True,
-                    with_omega_freeze: bool = False):
+                    with_omega_freeze: bool = False,
+                    scan_passes=False, scan_views=False):
     """Build the jitted per-iteration update.
 
     with_omega_freeze: densify mode 1 past iteration 8001
@@ -303,7 +353,7 @@ def make_train_step(opt_cfg, width: int, height: int,
     """
     forward = make_forward(opt_cfg, width, height, max_time, num_warp,
                            raster_cfg, use_blce, with_latents,
-                           with_exposure_delta)
+                           with_exposure_delta, scan_passes, scan_views)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, batch: Batch,
