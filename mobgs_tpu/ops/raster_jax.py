@@ -100,11 +100,21 @@ def composite_tiles(bins: TileBins, splats: ProjectedSplats,
         return img.astype(dt), a.astype(dt), d.astype(dt)
 
     n_chunks = (n_tiles + pad) // tile_chunk
+    # Optional tile-axis shard (parallel/mesh.enable_tile_sharding): the
+    # intra-chunk tile axis (dim 1) splits across the mesh's gauss axis,
+    # so each rank composites tile_chunk/n_gauss tiles of every chunk
+    # instead of all of them (round-3 VERDICT item 3). XLA partitions
+    # the [c, K, P] panels + einsums from this one constraint and
+    # all-gathers the image tiles at `untile`.
+    from mobgs_tpu.parallel import mesh as _pmesh
+    ids_r = _pmesh.constrain_tile_axis(
+        ids_all.reshape(n_chunks, tile_chunk, K), 1)
+    cnt_r = _pmesh.constrain_tile_axis(
+        cnt_all.reshape(n_chunks, tile_chunk), 1)
+    org_r = _pmesh.constrain_tile_axis(
+        org_all.reshape(n_chunks, tile_chunk, 2), 1)
     imgs, alphas, depths = jax.lax.map(
-        lambda args: chunk_body(*args),
-        (ids_all.reshape(n_chunks, tile_chunk, K),
-         cnt_all.reshape(n_chunks, tile_chunk),
-         org_all.reshape(n_chunks, tile_chunk, 2)))
+        lambda args: chunk_body(*args), (ids_r, cnt_r, org_r))
 
     def untile(x, ch):
         x = x.reshape(n_tiles + pad, TILE, TILE, ch)[:n_tiles]

@@ -88,3 +88,48 @@ def shard_train_state_specs(ts, mesh: Mesh):
 
 def shard_batch_specs(batch, mesh: Mesh):
     return jax.tree.map(lambda _: data_sharding(mesh), batch)
+
+
+# ---------------------------------------------------------------------------
+# Tile-axis compositing shard (round-3 VERDICT item 3).
+#
+# The Gaussian-axis (`gauss`) shard covers parameters/optimizer/densify
+# state, but binning+compositing consume the ALL-GATHERED splat records,
+# so without an explicit constraint every gauss rank redundantly
+# composites every tile. Enabling tile sharding re-uses the `gauss` mesh
+# axis for the TILE axis of the compositing stage: each rank composites
+# tiles/n_gauss tiles, and XLA inserts (a) an all-gather of the final
+# [H, W, C] image tiles and (b) an all-reduce of the backward's
+# per-Gaussian gradient scatter — both riding ICI. The XLA compositor
+# (ops/raster_jax.py) partitions this way automatically from the
+# constraint; the Pallas kernel is a custom call XLA cannot split, so
+# tile sharding applies to the XLA path (which is also what the
+# multichip dryrun validates on the virtual CPU mesh).
+
+_TILE_SHARD: tuple | None = None  # (Mesh, axis_name)
+
+
+def enable_tile_sharding(mesh: Mesh, axis: str = "gauss") -> None:
+    """Turn on tile-axis sharding constraints inside the compositor.
+    Call before tracing (jit closes over the setting at trace time)."""
+    global _TILE_SHARD
+    _TILE_SHARD = (mesh, axis)
+
+
+def disable_tile_sharding() -> None:
+    global _TILE_SHARD
+    _TILE_SHARD = None
+
+
+def constrain_tile_axis(x, dim: int):
+    """Constrain array dim ``dim`` to the tile-shard axis (no-op when
+    tile sharding is disabled). Safe to call inside jit."""
+    if _TILE_SHARD is None:
+        return x
+    mesh, axis = _TILE_SHARD
+    if x.shape[dim] % mesh.shape[axis]:
+        return x  # unsplittable (tiny pads); let propagation decide
+    spec = [None] * x.ndim
+    spec[dim] = axis
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))

@@ -71,3 +71,55 @@ def test_multiscene_data_parallel_batch():
         ref = render_one(*[c for c in clouds[i]])
         np.testing.assert_allclose(np.asarray(imgs[i]), np.asarray(ref),
                                    atol=1e-4)
+
+
+def test_tile_sharded_compositing_splits_per_device_work():
+    """Round-3 VERDICT item 3: with tile sharding enabled, the
+    compositor's per-chunk [c, K, P] panels must SHRINK to c/n_gauss per
+    device (inspected in the compiled HLO), the result must match the
+    replicated render, and the backward gradients must be unchanged."""
+    import re
+
+    mesh = Mx.make_mesh(n_data=2, n_gauss=4)
+    W, H = 256, 128
+    n = 1024
+    means, quats, scales, opac, colors = make_cloud(n, seed=3)
+    K = jnp.asarray([[150.0, 0, W / 2], [0, 150.0, H / 2], [0, 0, 1]])
+    chunk, cap = 16, 128
+    cfg = RasterConfig(tile_chunk=chunk, max_per_tile=cap)
+
+    def mk_loss():
+        # fresh function object per phase: jax's jit cache keys on the
+        # callable, and the tile-shard flag is read at TRACE time
+        def loss(m):
+            out = rasterize(m, quats, scales, opac, colors, jnp.eye(4), K,
+                            W, H, background=jnp.zeros(3), config=cfg)
+            return jnp.sum(out.images[0] ** 2), out.images[0]
+        return loss
+
+    loss = mk_loss()
+    ref_val, ref_img = jax.jit(loss)(means)
+    ref_grad = jax.jit(jax.grad(lambda m: loss(m)[0]))(means)
+
+    Mx.enable_tile_sharding(mesh, axis="gauss")
+    try:
+        loss_s = mk_loss()
+        jf = jax.jit(loss_s)
+        hlo = jf.lower(means).compile().as_text()
+        val, img = jf(means)
+        grad = jax.jit(jax.grad(lambda m: loss_s(m)[0]))(means)
+    finally:
+        Mx.disable_tile_sharding()
+
+    # per-device panel: [chunk/n_gauss, K, P] instead of [chunk, K, P]
+    local = chunk // 4
+    assert re.search(rf"f32\[{local},{cap},256\]", hlo), \
+        "compositor panels are not tile-sharded in the compiled HLO"
+    assert not re.search(rf"f32\[{chunk},{cap},256\]", hlo), \
+        "a full-chunk (replicated) panel survived tile sharding"
+
+    np.testing.assert_allclose(np.asarray(img), np.asarray(ref_img),
+                               atol=1e-5)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(ref_grad),
+                               atol=1e-5)
