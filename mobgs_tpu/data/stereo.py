@@ -178,7 +178,8 @@ def load_stereo_scene(path: str, max_frames: int = 24) -> StereoScene:
         blur_feats=np.asarray(blur_feats, np.float32),
         masks=np.stack(masks), width=W, height=H, max_time=float(max_time),
         test_w2c=np.stack(test_w2cs).astype(np.float32),
-        test_images=np.stack(test_imgs))
+        test_images=np.stack(test_imgs),
+        test_K=np.tile(K[None], (V, 1, 1)), test_time=times)
     return StereoScene(data=data, tracklet=tracklet,
                        track_visibles=track_vis,
                        normals=np.stack(normals).astype(np.float32),

@@ -39,6 +39,12 @@ class SceneData(NamedTuple):
     # test split (sharp)
     test_w2c: np.ndarray
     test_images: np.ndarray
+    # test-split intrinsics/times — None ⇒ reuse the train split's
+    # (exact for DyBluRF stereo: identical K, paired times). Loaders
+    # whose test cams differ MUST fill these; the in-training eval
+    # (cli/train.py on_eval) prefers them when present.
+    test_K: np.ndarray | None = None
+    test_time: np.ndarray | None = None
     # optional SfM seed cloud (COLMAP points3D), None when the loader
     # seeds via the warm stage instead (stereo path)
     points_xyz: np.ndarray | None = None

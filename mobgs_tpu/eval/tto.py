@@ -5,10 +5,15 @@ Parity target: `eval.py:43-166` — per test frame, optimize the w2c pose
 sharp ground truth, cosine LR decay after `decay_start`, then render the
 refined view.
 
-TPU-first: the reference loops 24 cameras × N python steps × 1 CUDA
-launch each. Here the whole optimization is one jitted
-`vmap(fori_loop)` — all test cameras optimize in parallel on-chip, with
-a hand-rolled Adam on the 7 pose scalars.
+TPU-first: the reference loops 24 cameras × N python steps × several
+CUDA launches each, paying host↔device round-trips per step. Here the
+whole optimization is ONE jitted program — `lax.map` over cameras of a
+`fori_loop` over Adam steps on the 7 pose scalars — so the host is out
+of the loop entirely. The cameras run SEQUENTIALLY inside that program
+(deliberately: batching the render with vmap hits the ~3x TPU
+gather/scatter lowering cliff, CLAUDE.md invariant, which would cost
+more than the per-camera overhead it saves on a single core; measured
+TTO wall-clock is in BASELINE.md).
 """
 
 from __future__ import annotations

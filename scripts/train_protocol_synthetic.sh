@@ -1,0 +1,73 @@
+#!/bin/bash
+# Full 10k-iteration DyBluRF protocol, hermetic (no dataset in the image):
+# trains the synthetic seesaw-shape scene at the exact protocol shapes
+# (512x288, 24 frames, 20k+10k seeds, batch 2, E=9), then runs the
+# shipped eval (100-step TTO) and metrics CLIs on the checkpoint.
+#
+# The axon TPU tunnel drops an RPC ~1/1500 iters and a blocking
+# device->host pull then hangs forever (BASELINE.md); the watchdog below
+# kills a silent trainer and resumes from train_state_latest.npz
+# (--start_checkpoint continues at int(ts.step)+1 with the sampler/rng
+# streams fast-forwarded — train/loop.py).
+#
+# Usage: PYTHONPATH=/root/repo:/root/.axon_site scripts/train_protocol_synthetic.sh \
+#            [expname] [WxHxF] [extra train args...]
+set -u
+EXP=${1:-synthetic/protocol10k}
+SIZE=${2:-512x288x24}
+shift 2 2>/dev/null || shift $# 2>/dev/null || true
+OUT="output/$EXP"
+LOG="$OUT/train.log"
+STALL_S=600          # no log line for 10 min => hung RPC, kill + resume
+MAX_RESTARTS=12
+mkdir -p "$OUT"
+
+run_train() {           # $1 = resume checkpoint ("" for fresh)
+  local ckpt="$1"; shift
+  local resume_args=()
+  [ -n "$ckpt" ] && resume_args=(--start_checkpoint "$ckpt")
+  stdbuf -oL -eL python -m mobgs_tpu.cli.train --synthetic \
+      --synthetic_size "$SIZE" --configs configs/stereo/seesaw.py \
+      --expname "$EXP" "${resume_args[@]}" "$@" >>"$LOG" 2>&1 &
+  echo $! > /tmp/protocol_train.pid
+  local pid
+  pid=$(cat /tmp/protocol_train.pid)
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 30
+    local age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+    if [ "$age" -gt "$STALL_S" ]; then
+      echo "[watchdog] no output for ${age}s — killing pid $pid to resume" \
+        | tee -a "$LOG"
+      kill -9 "$pid" 2>/dev/null
+      wait "$pid" 2>/dev/null
+      return 42
+    fi
+  done
+  wait "$pid"
+}
+
+attempt=0
+resume=""
+while true; do
+  attempt=$((attempt + 1))
+  echo "=== train attempt $attempt (resume='${resume}') ===" | tee -a "$LOG"
+  run_train "$resume" "$@"
+  rc=$?
+  if [ "$rc" -eq 0 ]; then break; fi
+  if [ "$attempt" -ge "$MAX_RESTARTS" ]; then
+    echo "[watchdog] giving up after $MAX_RESTARTS attempts (rc=$rc)"
+    exit 1
+  fi
+  if [ -f "$OUT/train_state_latest.npz" ]; then
+    resume="$OUT/train_state_latest.npz"
+  else
+    echo "[watchdog] no checkpoint yet — restarting fresh (rc=$rc)"
+  fi
+done
+
+echo "=== eval (100-step TTO) ===" | tee -a "$LOG"
+python -m mobgs_tpu.cli.eval_cli -m "$OUT" --synthetic \
+    --synthetic_size "$SIZE" --iteration 10000 2>&1 | tee -a "$LOG"
+echo "=== metrics ===" | tee -a "$LOG"
+python -m mobgs_tpu.cli.metrics_cli -m "$OUT" 2>&1 | tee -a "$LOG"
+echo "done — curves in $OUT/history.json, metrics in $OUT/results.json"

@@ -347,3 +347,108 @@ def test_history_truncation_counters_starved():
     ts2, hist2 = L.train(ts2, data2, opt2, blce_cfg2, iterations=1,
                          raster_cfg=tiny, scene_extent=6.0, log_every=1)
     assert hist2[0]["tile_max"] > 12
+
+
+def test_scan_passes_matches_unrolled():
+    """lax.scan over the exposure/view passes must be numerically
+    identical to the statically unrolled program (loss AND grads) —
+    the scan form is what ships (compile time, VERDICT r3 item 2)."""
+    from mobgs_tpu.models import gaussians as G_
+    from mobgs_tpu.train.step import make_forward
+
+    ts, data, opt, blce_cfg = build_everything(num_warp=3, lambda_flow=1e-2)
+    sampler = L.BatchSampler(6, 2, seed=0)
+    batch = L.make_batch(data, sampler.next_ids())
+    sd, sa = G_.split_diff(ts.stat)
+    dd, da = G_.split_diff(ts.dyn)
+    Ntot = ts.stat.capacity + ts.dyn.capacity
+    offs = jnp.zeros((2, Ntot, 2), jnp.float32)
+
+    outs = {}
+    for mode in (True, False):
+        fwd = make_forward(opt, data.width, data.height, data.max_time,
+                           num_warp=3, raster_cfg=CFG, scan_passes=mode)
+
+        def loss_of(sd_, dd_, sand_, blce_p, offs_):
+            return fwd(sd_, dd_, sand_, blce_p, offs_, sa, da,
+                       ts.blce.exposure_expo, batch)[0]
+
+        val, grads = jax.jit(jax.value_and_grad(loss_of, argnums=(0, 1, 4)))(
+            sd, dd, ts.sandwich, ts.blce.params, offs)
+        outs[mode] = (val, grads)
+
+    v_scan, g_scan = outs[True]
+    v_unroll, g_unroll = outs[False]
+    np.testing.assert_allclose(float(v_scan), float(v_unroll), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g_scan), jax.tree.leaves(g_unroll)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_tile_max_drift_triggers_capacity_escalation():
+    """Round-3 VERDICT item 7: a mid-train occupancy blow-up past
+    max_per_tile must trigger the measured re-validation and, when
+    truncation is NOT transmittance-saturated, escalate the capacity and
+    re-jit (observable in history['max_per_tile'])."""
+    small_cfg = RasterConfig(tile_chunk=6, max_per_tile=64)
+    ts, data, opt, blce_cfg = build_everything()
+    opt = dataclasses.replace(opt, densification_interval=2,
+                              densify_from_iter=1, densify_until_iter=100)
+
+    # inject a 200-splat pile-up in one tile with LOW opacity so the
+    # 64-entry truncation is visibly lossy (transmittance after 64 taps
+    # of alpha=0.01 is ~0.53, nowhere near saturated)
+    st = ts.stat
+    n_pile = 200
+    pile_xyz = jnp.tile(jnp.asarray([[0.0, 0.0, 5.0]]), (n_pile, 1)) \
+        + 1e-3 * jax.random.normal(jax.random.PRNGKey(3), (n_pile, 3))
+    idx = jnp.arange(n_pile)
+    st = st._replace(
+        xyz=st.xyz.at[idx].set(pile_xyz),
+        scaling=st.scaling.at[idx].set(jnp.log(0.05)),
+        opacity=st.opacity.at[idx].set(G.inverse_sigmoid(0.01)),
+        live=st.live.at[idx].set(True))
+    ts = ts._replace(stat=st)
+
+    ts, history = L.train(ts, data, opt, blce_cfg, iterations=4,
+                          raster_cfg=small_cfg, scene_extent=6.0,
+                          log_every=1)
+    caps = [h["max_per_tile"] for h in history]
+    assert caps[0] == 64
+    assert caps[-1] > 64, f"no escalation happened: {caps}"
+    assert np.isfinite([h["loss"] for h in history]).all()
+
+
+def test_resume_start_iter_matches_uninterrupted_run(tmp_path):
+    """start_iter resume (train/loop.py): a run checkpointed at iter 3
+    and resumed must produce the SAME per-iteration history as one
+    uninterrupted run — the sampler/rng/flag streams are fast-forwarded
+    and the full state round-trips through io/checkpoint."""
+    from mobgs_tpu.io.checkpoint import load_train_state, save_train_state
+
+    opts = dict(densify_from=2)  # exercise densify + rng advance inside
+    ts_a, data, opt, blce_cfg = build_everything(**opts)
+    opt = dataclasses.replace(opt, densify_until_iter=100)
+    ts_a, hist_a = L.train(ts_a, data, opt, blce_cfg, iterations=6,
+                           raster_cfg=CFG, scene_extent=6.0, log_every=1)
+
+    ts_b, _, _, _ = build_everything(**opts)
+    ts_b, hist_b1 = L.train(ts_b, data, opt, blce_cfg, iterations=3,
+                            raster_cfg=CFG, scene_extent=6.0, log_every=1)
+    ckpt = str(tmp_path / "state.npz")
+    save_train_state(ckpt, ts_b)
+
+    ts_c, _, _, _ = build_everything(**opts)
+    ts_c = load_train_state(ckpt, ts_c)
+    assert int(ts_c.step) == 3
+    ts_c, hist_b2 = L.train(ts_c, data, opt, blce_cfg, iterations=6,
+                            raster_cfg=CFG, scene_extent=6.0, log_every=1,
+                            start_iter=int(ts_c.step) + 1)
+
+    assert [h["iter"] for h in hist_b2] == [4, 5, 6]
+    got = {h["iter"]: h["loss"] for h in hist_b1 + hist_b2}
+    want = {h["iter"]: h["loss"] for h in hist_a}
+    assert got.keys() == want.keys()
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5,
+                                   err_msg=f"iter {k}")
