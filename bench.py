@@ -83,7 +83,7 @@ def main():
 
     t_compile = time.time()
     ts, m = step_fn(ts, batch)
-    jax.block_until_ready(m.loss)
+    _ = float(m.loss)
     compile_s = time.time() - t_compile
 
     # warmup
@@ -94,7 +94,8 @@ def main():
     t0 = time.time()
     for _ in range(iters_timed):
         ts, m = step_fn(ts, L.make_batch(data, sampler.next_ids()))
-    jax.block_until_ready(m.loss)
+    _ = float(m.loss)  # host pull: block_until_ready does NOT reliably
+    #                    wait through the axon tunnel (BASELINE.md)
     dt = time.time() - t0
     ips = iters_timed / dt
 
@@ -111,15 +112,15 @@ def main():
     ts_f = jax.tree.map(jnp.copy, ts)
     t_compile_f = time.time()
     ts_f, mf = step_flow(ts_f, L.make_batch(data, sampler.next_ids()))
-    jax.block_until_ready(mf.loss)
+    _ = float(mf.loss)
     compile_flow_s = time.time() - t_compile_f
     for _ in range(2):
         ts_f, mf = step_flow(ts_f, L.make_batch(data, sampler.next_ids()))
-    jax.block_until_ready(mf.loss)
+    _ = float(mf.loss)
     t0 = time.time()
     for _ in range(iters_timed):
         ts_f, mf = step_flow(ts_f, L.make_batch(data, sampler.next_ids()))
-    jax.block_until_ready(mf.loss)
+    _ = float(mf.loss)  # host pull (see above)
     ips_flow = iters_timed / (time.time() - t0)
 
     # inference: rendered frames/sec (combined pass, eval/TTO rate)
