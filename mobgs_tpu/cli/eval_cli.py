@@ -106,6 +106,15 @@ def main(argv=None):
                         ).save(os.path.join(out, f"img_{i:05d}.png.png"))
     np.save(os.path.join(args.model_path, "solved_poses.npy"),
             np.asarray(res.w2c))
+    # stage GT next to the renders so metrics_cli works without -s
+    # (the hermetic synthetic protocol has no inference_images/ dir;
+    # reference metrics.py reads GT from the scene's source path)
+    gt_dir = os.path.join(args.model_path, "test_gt")
+    os.makedirs(gt_dir, exist_ok=True)
+    gt_images = np.asarray(data.test_images)
+    for i in range(V):
+        Image.fromarray((np.clip(gt_images[i], 0, 1) * 255).astype(np.uint8)
+                        ).save(os.path.join(gt_dir, f"{i:05d}.png"))
     print(f"TTO done: mean PSNR {float(np.mean(np.asarray(res.psnr))):.2f}; "
           f"renders in {out}")
 

@@ -28,10 +28,16 @@ def main(argv=None):
     from PIL import Image
     pred_dir = os.path.join(args.model_path, "test_refined")
     pred_paths = sorted(glob.glob(os.path.join(pred_dir, "img_*.png*")))
+    # GT: the scene's inference_images/ when -s is given (reference
+    # metrics.py:81-162), else the test_gt/ staging dir eval_cli writes
+    # (hermetic synthetic protocol has no source dir)
+    gt_dir = (os.path.join(args.source_path, "inference_images")
+              if args.source_path
+              else os.path.join(args.model_path, "test_gt"))
     preds, gts = [], []
     for i, pp in enumerate(pred_paths):
         pred = np.asarray(Image.open(pp))[..., :3] / 255.0
-        gp = os.path.join(args.source_path, "inference_images", f"{i:05d}.png")
+        gp = os.path.join(gt_dir, f"{i:05d}.png")
         if not os.path.exists(gp):
             continue
         gt = np.asarray(Image.open(gp))[..., :3] / 255.0

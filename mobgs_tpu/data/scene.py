@@ -118,8 +118,19 @@ def _load_panoptic(path, **kw):
     return load_panoptic_scene(path, **kw)
 
 
+def _load_nvidia(path, **kw):
+    # poses_bounds.npy is shared by the DyBluRF stereo layout
+    # (images_512x288/, paired train/test cameras) and the Nvidia
+    # MONOCULAR layout (images_2/, fixed-view gt/ split) — reference
+    # readNvidiaCameras, dataset_readers.py:1621-1974
+    if os.path.isdir(os.path.join(path, "images_2")):
+        from mobgs_tpu.data.nvidia import load_nvidia_mono_scene
+        return load_nvidia_mono_scene(path).data
+    return load_stereo_scene(path).data
+
+
 SCENE_LOAD_CALLBACKS: dict[str, Callable] = {
-    "nvidia": lambda p, **kw: load_stereo_scene(p).data,
+    "nvidia": _load_nvidia,
     "stereo": lambda p, **kw: load_stereo_scene(p).data,
     "blender": load_blender_scene,
     "dycheck": _load_iphone,

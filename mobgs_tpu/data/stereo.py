@@ -65,8 +65,14 @@ class StereoScene(NamedTuple):
     tracklet: np.ndarray     # [T, P, 2] frame-0-anchored TAPIR tracks
     track_visibles: np.ndarray  # [T, P]
     normals: np.ndarray      # [V, H, W, 3]
-    test_K: np.ndarray       # [V, 3, 3]
-    test_time: np.ndarray    # [V]
+    test_K: np.ndarray | None = None       # [V, 3, 3]
+    test_time: np.ndarray | None = None    # [V]
+    # per-frame RAFT flow (Nvidia monocular layout only,
+    # dataset_readers.py:1714-1724; the stereo reader has none)
+    fwd_flow: np.ndarray | None = None       # [V, H, W, 2]
+    bwd_flow: np.ndarray | None = None
+    fwd_flow_mask: np.ndarray | None = None  # [V, H, W]
+    bwd_flow_mask: np.ndarray | None = None
 
 
 def _imread(path: str) -> np.ndarray:

@@ -27,7 +27,8 @@ from mobgs_tpu.data.cameras import Camera, cam_rays, pixel_grid
 from mobgs_tpu.models import gaussians as G
 from mobgs_tpu.models.sandwich import SandwichParams, apply_sandwich
 from mobgs_tpu.ops import projection
-from mobgs_tpu.ops.rasterize import RasterConfig, RasterOut, rasterize
+from mobgs_tpu.ops.rasterize import (RasterConfig, RasterOut,
+                                     make_shared_static, rasterize)
 
 
 class SceneGeom(NamedTuple):
@@ -51,6 +52,26 @@ def assemble(stat: G.GaussianState, dyn: G.GaussianState, t,
     ``[dc ‖ Δt·f_t]`` with Δt = t_eff - trbf_center; static uses raw
     params with zero time modulation.
     """
+    d_means, d_quats, d_scales, d_opac, d_colors = assemble_dyn(
+        dyn, t, max_time, delta_exposure)
+    s_means, s_quats, s_scales, s_opac, s_colors = assemble_static(stat)
+
+    Ms, Md = stat.capacity, dyn.capacity
+    return SceneGeom(
+        means=jnp.concatenate([s_means, d_means]),
+        quats=jnp.concatenate([s_quats, d_quats]),
+        scales=jnp.concatenate([s_scales, d_scales]),
+        opacity=jnp.concatenate([s_opac, d_opac]),
+        colors=jnp.concatenate([s_colors, d_colors]),
+        stat_mask=jnp.concatenate([jnp.ones(Ms), jnp.zeros(Md)]),
+        dyn_mask=jnp.concatenate([jnp.zeros(Ms), jnp.ones(Md)]),
+    )
+
+
+def assemble_dyn(dyn: G.GaussianState, t, max_time: float = 1.0,
+                 delta_exposure=None):
+    """Dynamic half of :func:`assemble` — the only part that changes
+    with the exposure shift (renderer :69-130)."""
     t = jnp.asarray(t, jnp.float32)
     if delta_exposure is None:
         t_eff = t
@@ -64,23 +85,52 @@ def assemble(stat: G.GaussianState, dyn: G.GaussianState, t,
     d_scales = G.act_scaling(dyn)
     d_opac = G.act_opacity(dyn)
     d_colors = G.features_at(dyn, jax.lax.stop_gradient(dt))
+    return d_means, d_quats, d_scales, d_opac, d_colors
 
+
+def assemble_static(stat: G.GaussianState):
+    """Static half of :func:`assemble` — time- AND exposure-invariant
+    (the reference never time-shifts static means either, renderer
+    :318-492), so per (view, camera) these rows are identical across
+    the mid render and every exposure-flow pass."""
     s_means = stat.xyz
     s_quats = G.act_rotation(stat.rotation)
     s_scales = G.act_scaling(stat)
     s_opac = G.act_opacity(stat)
     s_colors = G.features_at(stat, 0.0)
+    return s_means, s_quats, s_scales, s_opac, s_colors
 
-    Ms, Md = stat.capacity, dyn.capacity
-    return SceneGeom(
-        means=jnp.concatenate([s_means, d_means]),
-        quats=jnp.concatenate([s_quats, d_quats]),
-        scales=jnp.concatenate([s_scales, d_scales]),
-        opacity=jnp.concatenate([s_opac, d_opac]),
-        colors=jnp.concatenate([s_colors, d_colors]),
-        stat_mask=jnp.concatenate([jnp.ones(Ms), jnp.zeros(Md)]),
-        dyn_mask=jnp.concatenate([jnp.zeros(Ms), jnp.ones(Md)]),
-    )
+
+def make_shared_view(stat: G.GaussianState, cam: Camera,
+                     width: int, height: int,
+                     config: RasterConfig = RasterConfig()):
+    """Project + bin the static pool ONCE for a camera
+    (ops/rasterize.make_shared_static) — reused by the mid render and
+    all E-1 exposure-flow passes of the view, which differ only in the
+    dynamic rows. The returned SharedStatic is differentiable through
+    its projection (one projection backward per view instead of one
+    per pass)."""
+    s_means, s_quats, s_scales, _, _ = assemble_static(stat)
+    return make_shared_static(s_means, s_quats, s_scales, cam.w2c, cam.K,
+                              width, height, config)
+
+
+def project_dyn2d(dyn: G.GaussianState, cam: Camera,
+                  width: int, height: int, max_time: float = 1.0,
+                  delta_exposure=None,
+                  config: RasterConfig = RasterConfig()) -> jnp.ndarray:
+    """2D projections of the DYNAMIC rows only at a time — the static
+    rows of a flow-color difference (`mid2d - exp2d`, renderer
+    :187-199) are exactly zero because static means never move, so the
+    flow colors need only the dynamic projections."""
+    d_means, d_quats, d_scales, _, _ = assemble_dyn(dyn, cam.time,
+                                                    max_time,
+                                                    delta_exposure)
+    splats = projection.project(d_means, d_quats, d_scales,
+                                cam.w2c, cam.K, width, height,
+                                eps2d=config.eps2d, near=config.near,
+                                sigma_cut=config.sigma_cut)
+    return splats.means2d
 
 
 def _bg9(bg3: jnp.ndarray) -> jnp.ndarray:
@@ -115,6 +165,7 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
                 want_depth: bool = True,
                 want_alpha: bool = True,
                 precomputed: tuple | None = None,
+                shared=None,
                 config: RasterConfig = RasterConfig()) -> RenderOut:
     """Render one view at one time. Equivalent of reference `render()`.
 
@@ -133,6 +184,10 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
       precomputed: (SceneGeom, ProjectedSplats) from assemble_project —
         skips the internal assemble + projection (see the splats note in
         ops/rasterize.rasterize; delta_exposure is then ignored).
+      shared: SharedStatic from make_shared_view — the static pool's
+        projection + binning for THIS camera, computed once per view;
+        only the dynamic rows are projected/merged here (mutually
+        exclusive with precomputed).
     """
     if precomputed is not None:
         geom, splats = precomputed
@@ -160,7 +215,7 @@ def render_view(stat: G.GaussianState, dyn: G.GaussianState,
         alpha_masks=jnp.stack(sub_masks) if sub_masks else None,
         means2d_offset=means2d_offset,
         want_depth=want_depth, want_alpha=want_alpha,
-        splats=splats, config=config)
+        splats=splats, shared=shared, config=config)
 
     rays = cam_rays(cam, width, height)
     image = apply_sandwich(sandwich, out.images[0, ..., :9], rays)

@@ -46,6 +46,40 @@ class RasterOut(NamedTuple):
     tile_max: jnp.ndarray | int = 0  # pre-clamp peak tile occupancy
 
 
+class SharedStatic(NamedTuple):
+    """Per-(camera, static-subset) reusable projection + binning.
+
+    Build once per view with :func:`make_shared_static`, then pass as
+    ``rasterize(..., shared=...)`` for every pass that renders the SAME
+    camera with only the rows past the static prefix changing (the
+    train step's mid render + E-1 exposure-flow passes: static
+    Gaussians are never time-shifted, models/render.py::assemble /
+    reference renderer :69-130, so their records are identical across
+    all of them)."""
+    splats: projection.ProjectedSplats  # static rows, stop-gradiented
+    bins: tiles.StaticBins
+
+
+def make_shared_static(means, quats, scales, viewmat, K,
+                       width: int, height: int,
+                       config: RasterConfig = RasterConfig()) -> SharedStatic:
+    """Project + bin the static prefix once for a camera.
+
+    NOTE the returned projection is differentiable (grads accumulate
+    across every pass that reuses it — one projection backward per view
+    instead of one per pass); the binning inside is stop-gradiented
+    exactly like the unshared path."""
+    splats = projection.project(means, quats, scales, viewmat, K,
+                                width, height, eps2d=config.eps2d,
+                                near=config.near,
+                                sigma_cut=config.sigma_cut)
+    bins = tiles.bin_static(jax.tree.map(jax.lax.stop_gradient, splats),
+                            width, height,
+                            tiles_per_gauss=config.tiles_per_gauss,
+                            max_per_tile=config.max_per_tile)
+    return SharedStatic(splats=splats, bins=bins)
+
+
 def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
               opacities: jnp.ndarray, colors: jnp.ndarray,
               viewmat: jnp.ndarray, K: jnp.ndarray,
@@ -57,6 +91,7 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
               want_depth: bool = True,
               want_alpha: bool = True,
               splats: projection.ProjectedSplats | None = None,
+              shared: "SharedStatic | None" = None,
               config: RasterConfig = RasterConfig()) -> RasterOut:
     """Render one camera view with one or more subset passes.
 
@@ -91,17 +126,41 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
     Returns:
       RasterOut with [P, ...] leading pass axis.
     """
-    if splats is None:
-        splats = projection.project(means, quats, scales, viewmat, K,
-                                    width, height, eps2d=config.eps2d,
-                                    near=config.near,
-                                    sigma_cut=config.sigma_cut)
-    if means2d_offset is not None:
-        splats = splats._replace(means2d=splats.means2d + means2d_offset)
-    bins = tiles.bin_gaussians(
-        jax.tree.map(jax.lax.stop_gradient, splats), width, height,
-        tiles_per_gauss=config.tiles_per_gauss,
-        max_per_tile=config.max_per_tile)
+    if shared is not None:
+        # camera-shared static path: only the rows past the static
+        # prefix are projected and binned here; the static projection
+        # and per-tile lists come precomputed from make_shared_static
+        # (built once per view, reused by the mid + E-1 flow passes of
+        # the train step). means2d_offset (identically zero, a grad tap)
+        # is added AFTER the concat — binning never sees it, which is
+        # value-identical to the unshared path and gradient-identical
+        # because binning is stop-gradiented there too.
+        Ms = shared.splats.means2d.shape[0]
+        dyn_splats = projection.project(
+            means[Ms:], quats[Ms:], scales[Ms:], viewmat, K,
+            width, height, eps2d=config.eps2d, near=config.near,
+            sigma_cut=config.sigma_cut)
+        splats = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                              shared.splats, dyn_splats)
+        if means2d_offset is not None:
+            splats = splats._replace(
+                means2d=splats.means2d + means2d_offset)
+        bins = tiles.merge_dyn_bins(
+            shared.bins, jax.tree.map(jax.lax.stop_gradient, dyn_splats),
+            Ms, width, height, tiles_per_gauss=config.tiles_per_gauss,
+            max_per_tile=config.max_per_tile)
+    else:
+        if splats is None:
+            splats = projection.project(means, quats, scales, viewmat, K,
+                                        width, height, eps2d=config.eps2d,
+                                        near=config.near,
+                                        sigma_cut=config.sigma_cut)
+        if means2d_offset is not None:
+            splats = splats._replace(means2d=splats.means2d + means2d_offset)
+        bins = tiles.bin_gaussians(
+            jax.tree.map(jax.lax.stop_gradient, splats), width, height,
+            tiles_per_gauss=config.tiles_per_gauss,
+            max_per_tile=config.max_per_tile)
 
     if pass_masks is None:
         pass_masks = jnp.ones((1, means.shape[0]), means.dtype)

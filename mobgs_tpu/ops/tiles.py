@@ -57,6 +57,20 @@ class TileBins(NamedTuple):
 
 def bin_gaussians(splats: ProjectedSplats, width: int, height: int,
                   tiles_per_gauss: int = 36, max_per_tile: int = 1024) -> TileBins:
+    keys_sorted, gidx_sorted, starts, counts, ntx, nty = _expand_sort(
+        splats, width, height, tiles_per_gauss)
+    ids = _tile_slices(gidx_sorted, starts, ntx * nty, max_per_tile)
+    max_count = jnp.max(counts)
+    counts = jnp.minimum(counts, max_per_tile)
+    return TileBins(gauss_ids=ids, counts=counts,
+                    n_tiles_x=ntx, n_tiles_y=nty, max_count=max_count)
+
+
+def _expand_sort(splats: ProjectedSplats, width: int, height: int,
+                 tiles_per_gauss: int):
+    """Expand every splat to its bbox-budget (tile, gaussian) entries and
+    run the fused key-value sort; returns the sorted entry arrays plus
+    per-tile segment starts and PRE-clamp counts."""
     n_tiles_x = -(-width // TILE)
     n_tiles_y = -(-height // TILE)
     n_tiles = n_tiles_x * n_tiles_y
@@ -112,13 +126,99 @@ def bin_gaussians(splats: ProjectedSplats, width: int, height: int,
     bounds = jnp.searchsorted(keys_sorted, tile_keys)
     starts = bounds[:-1]
     counts = (bounds[1:] - starts).astype(jnp.int32)
+    return keys_sorted, gidx_sorted, starts, counts, n_tiles_x, n_tiles_y
 
-    ids = _tile_slices(gidx_sorted, starts, n_tiles, max_per_tile)
-    max_count = jnp.max(counts)
-    counts = jnp.minimum(counts, max_per_tile)
-    return TileBins(gauss_ids=ids, counts=counts,
-                    n_tiles_x=n_tiles_x, n_tiles_y=n_tiles_y,
-                    max_count=max_count)
+
+class StaticBins(NamedTuple):
+    """Reusable per-camera binning of a time-invariant Gaussian subset.
+
+    The train step renders the mid pass + E-1 exposure-flow passes of a
+    view from the SAME camera, and only the (small) dynamic pool moves
+    with the exposure shift — the static pool's projection, expansion,
+    sort, and per-tile lists are identical across all of them
+    (reference analogue: get_flow re-launches the full gsplat sort per
+    exposure, gaussian_renderer/__init__.py:318-492; static means are
+    never time-shifted there either). Binning the static set ONCE per
+    view and merging the dynamic records per pass removes ~90% of the
+    per-pass binning work (dyn pool ≈ 10% of static, cli/train.py).
+    """
+    ids: jnp.ndarray         # [T, K] int32 indices into the static set
+    keys: jnp.ndarray        # [T, K] fused sort keys (INT32_MAX pad)
+    counts_raw: jnp.ndarray  # [T] int32 PRE-clamp entries per tile
+    n_tiles_x: int
+    n_tiles_y: int
+
+
+def bin_static(splats: ProjectedSplats, width: int, height: int,
+               tiles_per_gauss: int = 36,
+               max_per_tile: int = 1024) -> StaticBins:
+    """Bin a time-invariant subset once, keeping the sorted key panel
+    that ``merge_dyn_bins`` ranks dynamic records against."""
+    keys_sorted, gidx_sorted, starts, counts, ntx, nty = _expand_sort(
+        splats, width, height, tiles_per_gauss)
+    ids = _tile_slices(gidx_sorted, starts, ntx * nty, max_per_tile)
+    keys = _tile_slices(keys_sorted, starts, ntx * nty, max_per_tile)
+    # mask gather garbage past each tile's segment (the ids panel relies
+    # on downstream count masking; the KEY panel feeds rank comparisons,
+    # so its padding must sort last)
+    slot = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    keys = jnp.where(slot < counts[:, None], keys, jnp.int32(2**31 - 1))
+    return StaticBins(ids=ids, keys=keys, counts_raw=counts,
+                      n_tiles_x=ntx, n_tiles_y=nty)
+
+
+def merge_dyn_bins(static: StaticBins, dyn_splats: ProjectedSplats,
+                   id_offset: int, width: int, height: int,
+                   tiles_per_gauss: int = 36,
+                   max_per_tile: int = 1024) -> TileBins:
+    """Merge a (small) dynamic set's records into a precomputed static
+    binning — exact equivalent of ``bin_gaussians`` over the
+    concatenated set with the dynamic indices offset by ``id_offset``.
+
+    Exactness: each stream is independently depth-sorted and truncated
+    to its front-most K, so the K front-most of the two-stream merge
+    equal the K front-most of the full combined sort (a record dropped
+    from its own stream ranks > K in the merge too). Ties reproduce the
+    stable combined sort (static-before-dynamic, index order within
+    each) via the strict/non-strict rank comparisons below.
+    """
+    K = static.ids.shape[1]
+    T = static.ids.shape[0]
+    keys_sorted, gidx_sorted, starts, counts_d, _, _ = _expand_sort(
+        dyn_splats, width, height, tiles_per_gauss)
+    ids_d = _tile_slices(gidx_sorted, starts, T, max_per_tile) + id_offset
+    keys_d = _tile_slices(keys_sorted, starts, T, max_per_tile)
+    slot = jnp.arange(max_per_tile, dtype=jnp.int32)[None, :]
+    keys_d = jnp.where(slot < counts_d[:, None], keys_d,
+                       jnp.int32(2**31 - 1))
+
+    # merged rank of every record = own position + records of the OTHER
+    # stream in front of it. One [T, K, K] comparison reduce on the VPU
+    # instead of re-sorting the 9x-larger combined expansion; ties rank
+    # static first (`<` vs `<=`), matching the stable combined sort.
+    ks = static.keys
+    rank_s = slot + jnp.sum(keys_d[:, None, :] < ks[:, :, None],
+                            axis=-1, dtype=jnp.int32)
+    rank_d = slot + jnp.sum(ks[:, None, :] <= keys_d[:, :, None],
+                            axis=-1, dtype=jnp.int32)
+
+    # scatter both streams into the merged [T, K] panel; positions >= K
+    # (truncated) and padding slots route to a dropped dummy column
+    valid_s = slot < jnp.minimum(static.counts_raw, K)[:, None]
+    valid_d = slot < jnp.minimum(counts_d, K)[:, None]
+    pos_s = jnp.where(valid_s & (rank_s < K), rank_s, K)
+    pos_d = jnp.where(valid_d & (rank_d < K), rank_d, K)
+    t_idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
+                             (T, K))
+    merged = jnp.zeros((T, K), jnp.int32)
+    merged = merged.at[t_idx, pos_s].set(static.ids, mode="drop")
+    merged = merged.at[t_idx, pos_d].set(ids_d, mode="drop")
+
+    counts_raw = static.counts_raw + counts_d  # identical entry set
+    return TileBins(gauss_ids=merged,
+                    counts=jnp.minimum(counts_raw, K),
+                    n_tiles_x=static.n_tiles_x, n_tiles_y=static.n_tiles_y,
+                    max_count=jnp.max(counts_raw))
 
 
 def suggest_tiles_per_gauss(radii, quantile: float = 0.995,

@@ -127,7 +127,8 @@ def make_forward(opt_cfg, width: int, height: int,
                  use_blce: bool = True,
                  with_latents: bool = True,
                  with_exposure_delta: bool = True,
-                 scan_passes=False, scan_views=False):
+                 scan_passes=False, scan_views=False,
+                 shared_static: bool = True):
     """Build the (un-jitted) forward loss over a camera batch — the
     differentiated core of the train step, also used standalone by the
     stage profiler (scripts/profile_step.py).
@@ -143,6 +144,12 @@ def make_forward(opt_cfg, width: int, height: int,
         `lax.scan` instead of static unrolling — numerically identical,
         compiles each pass body once; int > 1 = scan's unroll factor
         (see _loop). scan_views does the same for the B-view batch axis.
+      shared_static: bin + project the static pool ONCE per view and
+        reuse it across the mid render and all E-1 exposure-flow passes
+        (they share the camera; static Gaussians never time-shift —
+        ops/tiles.StaticBins). Numerically identical to the unshared
+        path (tests/test_train_step.py::test_shared_static_matches);
+        the flag exists for the A/B and as an escape hatch.
     """
     E = num_warp
     half = E // 2
@@ -182,13 +189,26 @@ def make_forward(opt_cfg, width: int, height: int,
             # pass-per-scan structure cannot (scan bodies are separate
             # program regions; this was the bulk of scan's +200 ms over
             # unroll at protocol shapes).
+            shared = None
             if compute_flow:
                 ratios = jnp.asarray([(e - half) / half for e in range(E)],
                                      jnp.float32)
                 Ntot = stat.capacity + dyn.capacity
-                mid2d = jax.lax.stop_gradient(
-                    R.project_combined(stat, dyn, cam, width, height,
-                                       max_time, None, raster_cfg))
+                if shared_static:
+                    # static pool: ONE projection + binning for this
+                    # camera, reused by the mid render and every flow
+                    # pass below; flow colors need only the dynamic
+                    # projections (static rows of mid2d - exp2d are
+                    # exactly zero — static means never move)
+                    shared = R.make_shared_view(stat, cam, width, height,
+                                                raster_cfg)
+                    mid_dyn2d = jax.lax.stop_gradient(
+                        R.project_dyn2d(dyn, cam, width, height,
+                                        max_time, None, raster_cfg))
+                else:
+                    mid2d = jax.lax.stop_gradient(
+                        R.project_combined(stat, dyn, cam, width, height,
+                                           max_time, None, raster_cfg))
             other = jnp.asarray([i for i in range(E) if i != half],
                                 jnp.int32)
 
@@ -210,21 +230,41 @@ def make_forward(opt_cfg, width: int, height: int,
                 if not compute_flow:
                     return tm, lat.image
                 # fused flow pass at the ORIGINAL camera, exposure-time
-                # geometry: project once, use means2d for the flow
-                # colors AND the composite; consumes image + flow
-                # channels + the SUBSET dyn alpha (fused chain)
-                geom_f, splats_f = R.assemble_project(
-                    stat, dyn, cam, width, height, max_time, d_flow,
-                    raster_cfg)
-                flow2d_e = jax.lax.stop_gradient(mid2d - splats_f.means2d)
-                fout = R.render_view(stat, dyn, sandwich, cam, width,
-                                     height, bg3, max_time,
-                                     get_dynamic=True,
-                                     extra_colors=flow2d_e,
-                                     subset_alpha_only=True,
-                                     want_depth=False, want_alpha=False,
-                                     precomputed=(geom_f, splats_f),
-                                     config=raster_cfg)
+                # geometry; consumes image + flow channels + the SUBSET
+                # dyn alpha (fused chain)
+                if shared_static:
+                    # only the dynamic rows differ from the shared
+                    # static panel; their projection here CSEs with the
+                    # one inside render_view (same program region)
+                    dyn2d_e = jax.lax.stop_gradient(
+                        R.project_dyn2d(dyn, cam, width, height,
+                                        max_time, d_flow, raster_cfg))
+                    flow2d_e = jnp.concatenate(
+                        [jnp.zeros((stat.capacity, 2), jnp.float32),
+                         mid_dyn2d - dyn2d_e])
+                    fout = R.render_view(stat, dyn, sandwich, cam, width,
+                                         height, bg3, max_time, d_flow,
+                                         get_dynamic=True,
+                                         extra_colors=flow2d_e,
+                                         subset_alpha_only=True,
+                                         want_depth=False,
+                                         want_alpha=False,
+                                         shared=shared, config=raster_cfg)
+                else:
+                    geom_f, splats_f = R.assemble_project(
+                        stat, dyn, cam, width, height, max_time, d_flow,
+                        raster_cfg)
+                    flow2d_e = jax.lax.stop_gradient(
+                        mid2d - splats_f.means2d)
+                    fout = R.render_view(stat, dyn, sandwich, cam, width,
+                                         height, bg3, max_time,
+                                         get_dynamic=True,
+                                         extra_colors=flow2d_e,
+                                         subset_alpha_only=True,
+                                         want_depth=False,
+                                         want_alpha=False,
+                                         precomputed=(geom_f, splats_f),
+                                         config=raster_cfg)
                 tm = jnp.maximum(tm, jnp.asarray(fout.tile_max, jnp.int32))
                 return tm, (lat.image, fout.image, fout.d_alpha, fout.flow,
                             flow2d_e)
@@ -261,7 +301,8 @@ def make_forward(opt_cfg, width: int, height: int,
                                 bg3, max_time, None, get_static=False,
                                 get_dynamic=True, means2d_offset=offset,
                                 extra_colors=mid_extra,
-                                subset_alpha_only=True, config=raster_cfg)
+                                subset_alpha_only=True, shared=shared,
+                                config=raster_cfg)
             tile_max = jnp.maximum(tile_max,
                                    jnp.asarray(mid.tile_max, jnp.int32))
 
@@ -343,7 +384,8 @@ def make_train_step(opt_cfg, width: int, height: int,
                     with_latents: bool = True,
                     with_exposure_delta: bool = True,
                     with_omega_freeze: bool = False,
-                    scan_passes=False, scan_views=False):
+                    scan_passes=False, scan_views=False,
+                    shared_static: bool = True):
     """Build the jitted per-iteration update.
 
     with_omega_freeze: densify mode 1 past iteration 8001
@@ -353,7 +395,8 @@ def make_train_step(opt_cfg, width: int, height: int,
     """
     forward = make_forward(opt_cfg, width, height, max_time, num_warp,
                            raster_cfg, use_blce, with_latents,
-                           with_exposure_delta, scan_passes, scan_views)
+                           with_exposure_delta, scan_passes, scan_views,
+                           shared_static)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(ts: TrainState, batch: Batch,

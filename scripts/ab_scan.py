@@ -2,7 +2,11 @@
 
 Protocol shapes (seesaw: 512x288, 20k+10k seeds, batch 2, E=9), both
 flow modes. Usage:
-  PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_scan.py [scan|unroll|both] [flow|noflow|both]
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/ab_scan.py \
+      [scan|unroll|both] [flow|noflow|both] [shared|noshared|both]
+
+Timing uses a host pull on the loss (float()) — block_until_ready does
+not reliably wait through the axon tunnel (BASELINE.md).
 """
 
 import sys
@@ -28,6 +32,7 @@ CFG = RasterConfig(tiles_per_gauss=9, max_per_tile=256, tile_chunk=36)
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "both"
     flows = sys.argv[2] if len(sys.argv) > 2 else "both"
+    sharing = sys.argv[3] if len(sys.argv) > 3 else "shared"
     data, traj = synthetic.generate(width=W, height=H, num_frames=F,
                                     n_static=2000, n_dyn=400,
                                     blur_substeps=3, raster_cfg=CFG)
@@ -63,30 +68,38 @@ def main():
     if flows != "both":
         lams = {flows: lams[flows]}
 
+    shares = {"shared": True, "noshared": False}
+    if sharing != "both":
+        shares = {sharing: shares[sharing]}
+
     for fname, lam in lams.items():
         opt = OptimizationParams(iterations=10_000, batch_size=2,
                                  lambda_flow_loss=lam)
-        for mname, (scan_e, scan_v) in modes.items():
-            step = make_train_step(opt, W, H, data.max_time, num_warp=9,
-                                   raster_cfg=CFG, scan_passes=scan_e,
-                                   scan_views=scan_v)
-            ts = jax.tree.map(jnp.copy, ts0)
-            t0 = time.time()
-            ts, m = step(ts, batches[0])
-            jax.block_until_ready(m.loss)
-            compile_s = time.time() - t0
-            for i in range(2):
-                ts, m = step(ts, batches[1 + i])
-            jax.block_until_ready(m.loss)
-            t0 = time.time()
-            n = 8
-            for i in range(n):
-                ts, m = step(ts, batches[3 + i])
-            jax.block_until_ready(m.loss)
-            dt = (time.time() - t0) / n
-            print(f"{fname:7s} {mname:7s} compile {compile_s:7.1f}s  "
-                  f"step {dt*1000:7.1f} ms  loss {float(m.loss):.6f} "
-                  f"psnr {float(m.psnr):.3f}", flush=True)
+        for sname, sh in shares.items():
+            for mname, (scan_e, scan_v) in modes.items():
+                step = make_train_step(opt, W, H, data.max_time,
+                                       num_warp=9, raster_cfg=CFG,
+                                       scan_passes=scan_e,
+                                       scan_views=scan_v,
+                                       shared_static=sh)
+                ts = jax.tree.map(jnp.copy, ts0)
+                t0 = time.time()
+                ts, m = step(ts, batches[0])
+                _ = float(m.loss)  # host pull (tunnel-honest)
+                compile_s = time.time() - t0
+                for i in range(2):
+                    ts, m = step(ts, batches[1 + i])
+                _ = float(m.loss)
+                t0 = time.time()
+                n = 8
+                for i in range(n):
+                    ts, m = step(ts, batches[3 + i])
+                _ = float(m.loss)
+                dt = (time.time() - t0) / n
+                print(f"{fname:7s} {sname:9s} {mname:7s} "
+                      f"compile {compile_s:7.1f}s  step {dt*1000:7.1f} ms"
+                      f"  loss {float(m.loss):.6f} "
+                      f"psnr {float(m.psnr):.3f}", flush=True)
 
 
 if __name__ == "__main__":

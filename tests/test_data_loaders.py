@@ -215,3 +215,73 @@ def test_colmap_scene_loader(tmp_path):
     assert data.points_rgb.shape == (n_pts, 3)
     assert data.K[0, 0, 0] == 35.0 and data.K[0, 1, 1] == 36.0
     assert np.isfinite(data.blur_feats).all()
+
+
+def make_nvidia_mono_fixture(root, V=3, H=96, W=128):
+    """Fabricate a minimal Nvidia MONOCULAR scene directory
+    (dataset_readers.py:1621-1974 layout: images_2/, gt/, per-frame
+    flow npz, 3-digit frame names)."""
+    from PIL import Image
+    rng = np.random.default_rng(1)
+    for d in ("images_2", "gt", "flow", "align_uni_depth_noclip",
+              "instance_mask_manual/000"):
+        os.makedirs(f"{root}/{d}", exist_ok=True)
+
+    poses = np.zeros((V, 3, 5))
+    for i in range(V):
+        poses[i, :, :3] = np.eye(3)
+        poses[i, :, 3] = [0.1 * i, 0, 0.5]
+        # h, w, focal at the ORIGINAL resolution (loader divides by 2)
+        poses[i, :, 4] = [2 * H, 2 * W, 300.0]
+    arr = np.concatenate([poses.reshape(V, 15),
+                          np.tile([[1.0, 10.0]], (V, 1))], axis=1)
+    np.save(f"{root}/poses_bounds.npy", arr)
+    json.dump({"center": [0.0, 0.0, 0.1]}, open(f"{root}/scene.json", "w"))
+
+    for i in range(V):
+        img = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+        Image.fromarray(img).save(f"{root}/images_2/{i:03d}.png")
+        Image.fromarray(img).save(f"{root}/gt/v000_t{i:03d}.png")
+        np.save(f"{root}/align_uni_depth_noclip/{i:03d}.npy",
+                rng.uniform(2.0, 4.0, (H, W)).astype(np.float32))
+        flow = rng.normal(size=(H, W, 2)).astype(np.float32)
+        mask = (rng.uniform(size=(H, W)) > 0.5)
+        np.savez(f"{root}/flow/{i:03d}_fwd.npz", flow=flow, mask=mask)
+        np.savez(f"{root}/flow/{i:03d}_bwd.npz", flow=flow, mask=mask)
+    m = np.zeros((H, W), np.uint8)
+    m[10:30, 20:50] = 255
+    Image.fromarray(m).save(f"{root}/instance_mask_manual/000/0.png")
+    np.save(f"{root}/forward_tracks_dynamic.npy",
+            rng.uniform(size=(V, 17, 2)).astype(np.float32))
+    return V, H, W
+
+
+def test_nvidia_mono_loader(tmp_path):
+    from mobgs_tpu.data.nvidia import load_nvidia_mono_scene
+    from mobgs_tpu.data.scene import load_scene, sniff_dataset_type
+
+    V, H, W = make_nvidia_mono_fixture(tmp_path)
+    scene = load_nvidia_mono_scene(str(tmp_path))
+    d = scene.data
+    assert d.images.shape == (V, H, W, 3)
+    assert d.w2c.shape == (V, 4, 4)
+    assert d.test_images.shape == (V, H, W, 3)
+    # fixed-viewpoint test split: every test pose is camera 0's
+    np.testing.assert_allclose(d.test_w2c[1], d.test_w2c[0])
+    np.testing.assert_allclose(np.asarray(d.test_time), np.arange(V))
+    # mean-depth normalization scales translations AND depths
+    assert 0.1 < float(d.depths.mean()) < 10.0
+    # endpoint frames zero the missing flow direction (:1716-1724)
+    assert float(np.abs(scene.bwd_flow[0]).max()) == 0.0
+    assert float(np.abs(scene.fwd_flow[V - 1]).max()) == 0.0
+    assert float(np.abs(scene.fwd_flow[1]).max()) > 0.0
+    # instance masks union into the motion mask
+    assert float(d.masks[0].max()) == 1.0 and float(d.masks[0].min()) == 0.0
+    assert scene.tracklet.shape == (V, 17, 2)
+    assert np.isfinite(scene.normals).all()
+
+    # registry dispatch: poses_bounds.npy sniffs as "nvidia", and the
+    # images_2/ marker routes to the monocular reader
+    assert sniff_dataset_type(str(tmp_path)) == "nvidia"
+    d2 = load_scene(str(tmp_path))
+    assert d2.images.shape == (V, H, W, 3)
