@@ -139,8 +139,13 @@ class StaticBins(NamedTuple):
     (reference analogue: get_flow re-launches the full gsplat sort per
     exposure, gaussian_renderer/__init__.py:318-492; static means are
     never time-shifted there either). Binning the static set ONCE per
-    view and merging the dynamic records per pass removes ~90% of the
-    per-pass binning work (dyn pool ≈ 10% of static, cli/train.py).
+    view and merging the dynamic records per pass skips the static
+    share of each pass's expand-sort. Pays off only when the dynamic
+    pool is a small fraction of the static one: at the DyBluRF protocol
+    ratio (dyn capacity = half of static) the per-pass dyn re-sort +
+    row merge measured slightly SLOWER than plain combined re-binning
+    (600 vs 588 ms/step on v5e — BASELINE.md round-4 notes), so
+    train.step defaults shared_static=False.
     """
     ids: jnp.ndarray         # [T, K] int32 indices into the static set
     keys: jnp.ndarray        # [T, K] fused sort keys (INT32_MAX pad)
@@ -180,7 +185,8 @@ def merge_dyn_bins(static: StaticBins, dyn_splats: ProjectedSplats,
     equal the K front-most of the full combined sort (a record dropped
     from its own stream ranks > K in the merge too). Ties reproduce the
     stable combined sort (static-before-dynamic, index order within
-    each) via the strict/non-strict rank comparisons below.
+    each): the static panel is concatenated FIRST and the row sort is
+    stable.
     """
     K = static.ids.shape[1]
     T = static.ids.shape[0]
@@ -192,27 +198,18 @@ def merge_dyn_bins(static: StaticBins, dyn_splats: ProjectedSplats,
     keys_d = jnp.where(slot < counts_d[:, None], keys_d,
                        jnp.int32(2**31 - 1))
 
-    # merged rank of every record = own position + records of the OTHER
-    # stream in front of it. One [T, K, K] comparison reduce on the VPU
-    # instead of re-sorting the 9x-larger combined expansion; ties rank
-    # static first (`<` vs `<=`), matching the stable combined sort.
-    ks = static.keys
-    rank_s = slot + jnp.sum(keys_d[:, None, :] < ks[:, :, None],
-                            axis=-1, dtype=jnp.int32)
-    rank_d = slot + jnp.sum(ks[:, None, :] <= keys_d[:, :, None],
-                            axis=-1, dtype=jnp.int32)
-
-    # scatter both streams into the merged [T, K] panel; positions >= K
-    # (truncated) and padding slots route to a dropped dummy column
-    valid_s = slot < jnp.minimum(static.counts_raw, K)[:, None]
-    valid_d = slot < jnp.minimum(counts_d, K)[:, None]
-    pos_s = jnp.where(valid_s & (rank_s < K), rank_s, K)
-    pos_d = jnp.where(valid_d & (rank_d < K), rank_d, K)
-    t_idx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32)[:, None],
-                             (T, K))
-    merged = jnp.zeros((T, K), jnp.int32)
-    merged = merged.at[t_idx, pos_s].set(static.ids, mode="drop")
-    merged = merged.at[t_idx, pos_d].set(ids_d, mode="drop")
+    # stable per-tile k/v row sort of the concatenated [T, 2K] panels,
+    # then keep the front-most K. Gather garbage past each stream's
+    # count carries an INT32_MAX key (masked above / in bin_static) and
+    # sorts behind every real record. A [T,2K] row sort beats both the
+    # full combined re-expansion sort (the point of sharing) and a
+    # rank-compare + scatter merge (two [T,K] scatters/pass measured
+    # +46 ms/step on v5e at protocol shapes).
+    keys_cat = jnp.concatenate([static.keys, keys_d], axis=1)
+    ids_cat = jnp.concatenate([static.ids, ids_d], axis=1)
+    _, merged_full = jax.lax.sort((keys_cat, ids_cat), dimension=1,
+                                  num_keys=1, is_stable=True)
+    merged = merged_full[:, :K]
 
     counts_raw = static.counts_raw + counts_d  # identical entry set
     return TileBins(gauss_ids=merged,

@@ -128,7 +128,7 @@ def make_forward(opt_cfg, width: int, height: int,
                  with_latents: bool = True,
                  with_exposure_delta: bool = True,
                  scan_passes=False, scan_views=False,
-                 shared_static: bool = True):
+                 shared_static: bool = False):
     """Build the (un-jitted) forward loss over a camera batch — the
     differentiated core of the train step, also used standalone by the
     stage profiler (scripts/profile_step.py).
@@ -148,8 +148,12 @@ def make_forward(opt_cfg, width: int, height: int,
         reuse it across the mid render and all E-1 exposure-flow passes
         (they share the camera; static Gaussians never time-shift —
         ops/tiles.StaticBins). Numerically identical to the unshared
-        path (tests/test_train_step.py::test_shared_static_matches);
-        the flag exists for the A/B and as an escape hatch.
+        path (tests/test_shared_static.py). Default OFF: at protocol
+        shapes the dyn pool is half the static pool, so the per-pass
+        dyn re-sort + [T,2K] row-merge costs MORE than the shared
+        static sort saves (measured 600 vs 588 ms/step on v5e;
+        BASELINE.md round-4 notes). Worth flipping on for scenes whose
+        dynamic pool is a small fraction of the static one.
     """
     E = num_warp
     half = E // 2
@@ -385,7 +389,7 @@ def make_train_step(opt_cfg, width: int, height: int,
                     with_exposure_delta: bool = True,
                     with_omega_freeze: bool = False,
                     scan_passes=False, scan_views=False,
-                    shared_static: bool = True):
+                    shared_static: bool = False):
     """Build the jitted per-iteration update.
 
     with_omega_freeze: densify mode 1 past iteration 8001
