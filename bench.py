@@ -153,6 +153,29 @@ def main():
     _ = float(jnp.sum(imgs[-1]))  # host pull forces true completion
     fps = n_frames / (time.time() - t0)
 
+    # MFU: analytic step FLOPs (utils/observability.py model — XLA's
+    # cost_analysis reports 0 for the Pallas custom call) / measured
+    # step time / peak chip FLOPs. Intersections measured on the mid
+    # view of the CURRENT trained state (post-densify occupancy).
+    from mobgs_tpu.models import render as R2
+    from mobgs_tpu.ops import projection as P2
+    from mobgs_tpu.ops import tiles as T2
+    from mobgs_tpu.utils.observability import analytic_step_flops
+
+    g = R2.assemble(ts.stat, ts.dyn, jnp.asarray(data.time[0]),
+                    data.max_time)
+    spl = P2.project(g.means, g.quats, g.scales, jnp.asarray(data.w2c[0]),
+                     jnp.asarray(data.K[0]), W, H)
+    bins = T2.bin_gaussians(spl, W, H,
+                            tiles_per_gauss=raster_cfg.tiles_per_gauss,
+                            max_per_tile=raster_cfg.max_per_tile)
+    n_inter = float(jnp.sum(bins.counts))
+    cap_total = ts.stat.capacity + ts.dyn.capacity
+    n_passes = 2 * 9  # batch x exposures (flow-OFF step)
+    flops = analytic_step_flops(n_inter, cap_total, n_passes)
+    peak = 197e12 if on_tpu else 1e12  # v5e bf16 peak / nominal CPU
+    mfu = flops / (dt / iters_timed) / peak
+
     platform = jax.devices()[0].platform
     result = {
         "metric": f"train_iters_per_sec_seesaw_protocol_{platform}",
@@ -161,6 +184,8 @@ def main():
         "vs_baseline": round(ips / REFERENCE_ITERS_PER_SEC_EST, 4),
         "flow_on_iters_per_sec": round(ips_flow, 4),
         "render_fps": round(fps, 1),
+        "mfu": round(mfu, 5),
+        "step_gflops": round(flops / 1e9, 1),
     }
     print(json.dumps(result))
     print(f"# compile {compile_s:.1f}s (+{compile_flow_s:.1f}s flow-on), "

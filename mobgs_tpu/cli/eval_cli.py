@@ -93,8 +93,13 @@ def main(argv=None):
     # shipped call: initialize_from_previous_camera=False => every
     # camera optimizes with lr factor 1.0 (eval.py:62-68,269-271)
     lr_scale = np.ones(V, np.float32)
-    res = tto(test_w2c, jnp.asarray(data.K),
-              jnp.asarray(data.time), jnp.asarray(data.test_images),
+    # test-split intrinsics/times when the loader provides them (same
+    # fallback as cli/train.py's in-training eval; loader families with
+    # distinct test K/time or V_test != V_train need these)
+    t_K = data.test_K if data.test_K is not None else data.K
+    t_t = data.test_time if data.test_time is not None else data.time
+    res = tto(test_w2c, jnp.asarray(t_K),
+              jnp.asarray(t_t), jnp.asarray(data.test_images),
               jnp.asarray(lr_scale))
 
     out = os.path.join(args.model_path, "test_refined")

@@ -170,7 +170,12 @@ class TPUParams:
     # adversarial pile-up needs 384).
     max_per_tile: int = 256
     tile_chunk: int = 36
-    capacity_mult: float = 6.0   # Gaussian slot capacity = mult * init pts
+    # initial Gaussian slot capacity = mult * seed count. Projection +
+    # binning cost scales with capacity, so start modest: the train loop
+    # grows pools on densify pressure (train/densify.grow_pool — the
+    # static-shape analogue of the reference's unbounded tensor growth),
+    # so runs are never pinned by this.
+    capacity_mult: float = 2.0
     mesh_shape: tuple = ()       # e.g. (8,) for 8-way Gaussian sharding
     use_pallas: bool = True      # pallas compositing kernel on TPU
 

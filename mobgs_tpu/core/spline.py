@@ -178,6 +178,80 @@ def fit_spline_shared(traj: jnp.ndarray, times: jnp.ndarray, n_pts: int, K: int,
     return sol
 
 
+def project_points(pts: jnp.ndarray, w2c: jnp.ndarray,
+                   K_mat: jnp.ndarray) -> jnp.ndarray:
+    """World points -> pixel coordinates (graphics_utils.py:143-155
+    `pts2pixel`/`cam2pixel`: column-wise w2c transform, then K projection
+    with the reference's 1e-7 z-guard)."""
+    cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
+    pix = cam @ K_mat.T
+    return pix[..., :2] / (pix[..., 2:3] + 1e-7)
+
+
+def compute_prune_error(control: jnp.ndarray, n_cur: jnp.ndarray,
+                        new_control: jnp.ndarray, n_new: jnp.ndarray,
+                        view_w2c: jnp.ndarray, view_times: jnp.ndarray,
+                        focal: float, width: int, height: int,
+                        pos_scale: float = 1e-2) -> jnp.ndarray:
+    """Mean reprojection error of the pruned spline vs the current one.
+
+    Port of `gaussian_model.py:292-308`: for every INTERIOR view (the
+    reference skips the first and last frame), evaluate both splines at
+    the view time, scale by 1e-2 (the spline-position convention), project
+    through a synthesized K = [[f,0,W/2],[0,f,H/2],[0,0,1]] built from the
+    first view's focal, and average the per-point 2-D L2 distances.
+
+    Args:
+      control/new_control: ``[P, K, 3]`` current / one-knot-pruned points.
+      n_cur/n_new: ``[P]`` live knot counts for each.
+      view_w2c: ``[V, 4, 4]`` world-to-camera matrices (V ≥ 3; the first
+        and last rows are skipped, as the reference does).
+      view_times: ``[V]`` normalized times.
+      focal, width, height: intrinsics of the synthesized K.
+
+    Returns:
+      ``[P]`` mean pixel error over interior views.
+    """
+    K_mat = jnp.asarray([[focal, 0.0, width / 2.0],
+                         [0.0, focal, height / 2.0],
+                         [0.0, 0.0, 1.0]], control.dtype)
+    V = view_w2c.shape[0]
+    errs = []
+    for v in range(1, V - 1):  # static count: interior views only
+        t = view_times[v]
+        old3d = eval_spline(control, t, n_cur) * pos_scale
+        new3d = eval_spline(new_control, t, n_new) * pos_scale
+        old2d = project_points(old3d, view_w2c[v], K_mat)
+        new2d = project_points(new3d, view_w2c[v], K_mat)
+        errs.append(jnp.linalg.norm(old2d - new2d, axis=-1))
+    return jnp.stack(errs, 0).mean(0)
+
+
+def onedown_control_pts(control: jnp.ndarray, n_cur: jnp.ndarray,
+                        view_w2c: jnp.ndarray, view_times: jnp.ndarray,
+                        focal: float, width: int, height: int,
+                        error_threshold: float):
+    """Knot-prune controller (`gaussian_model.py:274-291`): refit every
+    spline with one fewer control point, gate the swap per point on the
+    reprojection error staying under ``error_threshold``.
+
+    Returns (control', n_cur', n_accepted). Functional (no in-place
+    mutation). Points already at the 4-knot floor target n_new = 4
+    (the reference's `new_control_num[new_control_num < 4] = 4` clamp),
+    so an accepted swap re-solves them at the same count.
+    """
+    K = control.shape[1]
+    n_cur = jnp.reshape(jnp.asarray(n_cur, jnp.int32), (-1,))
+    n_new = jnp.maximum(n_cur - 1, 4)
+    new_control = refit_spline_pruned(control, n_cur, K)
+    err = compute_prune_error(control, n_cur, new_control, n_new,
+                              view_w2c, view_times, focal, width, height)
+    accept = err <= error_threshold
+    control_out = jnp.where(accept[:, None, None], new_control, control)
+    n_out = jnp.where(accept, n_new, n_cur)
+    return control_out, n_out, jnp.sum(accept)
+
+
 def refit_spline_pruned(control: jnp.ndarray, n_cur: jnp.ndarray,
                         K: int, ridge: float = 1e-6) -> jnp.ndarray:
     """Refit each spline with one fewer control point.

@@ -15,6 +15,11 @@ Differences kept deliberately:
   only read the cache, never write into the dataset).
 - the reference's commented-out code paths (depthcrafter, TAPIR target
   tracks, per-instance depth rescaling) are dead there and omitted.
+- test-split poses are normalized ONCE from the raw camera-0 pose. The
+  reference mutates `c2ws[0]` in place inside the per-test-frame loop
+  (dataset_readers.py:1947-1951), re-subtracting scene_center and
+  re-dividing by mean_depth cumulatively — an upstream bug, so
+  reference test cameras after frame 0 will NOT match this loader's.
 """
 
 from __future__ import annotations
@@ -132,7 +137,10 @@ def load_nvidia_mono_scene(path: str) -> StereoScene:
             normal = normals_from_depth(depth, K)
         normals.append(_avg_pool_5x5(normal.astype(np.float32)))
 
-        # instance masks union into the motion mask (:1881-1890)
+        # instance masks union into the motion mask (:1881-1890); each
+        # mask is nearest-resized to (H, W) first — the reference
+        # resizes via PILtoTorch (:1881-1886), and raw-resolution masks
+        # would otherwise fail the union broadcast
         inst = sorted(glob.glob(os.path.join(path, "instance_mask_manual",
                                              f"{i:03d}", "*.png")))
         m = np.zeros((H, W), np.float32)
@@ -140,6 +148,10 @@ def load_nvidia_mono_scene(path: str) -> StereoScene:
             a = _imread(mp).astype(np.float32)
             if a.ndim == 3:
                 a = a[..., 0]
+            if a.shape != (H, W):
+                iy = (np.arange(H) * (a.shape[0] / H)).astype(np.int64)
+                ix = (np.arange(W) * (a.shape[1] / W)).astype(np.int64)
+                a = a[iy][:, ix]
             m = np.maximum(m, (a > 0).astype(np.float32))
         masks.append(m)
 

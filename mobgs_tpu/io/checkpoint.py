@@ -30,6 +30,16 @@ def _flatten_with_paths(tree):
     return out, treedef
 
 
+def peek_shape(path: str, key: str):
+    """Shape of one leaf in a checkpoint, or None if absent — used to
+    size a template's pools before load (mid-train pool growth means a
+    checkpoint's capacities can exceed a fresh template's)."""
+    with np.load(path) as data:
+        if key not in data:
+            return None
+        return data[key].shape
+
+
 def save_train_state(path: str, ts) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat, _ = _flatten_with_paths(ts)

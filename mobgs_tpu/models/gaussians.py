@@ -210,3 +210,22 @@ def create_state(points: jnp.ndarray, colors: jnp.ndarray, times: jnp.ndarray,
     # dead slots: control_num=4 keeps spline eval well-defined
     cn = jnp.where(padded.live, padded.control_num, 4)
     return padded._replace(control_num=cn.astype(jnp.int32))
+
+
+def grow_state(state: GaussianState, new_capacity: int) -> GaussianState:
+    """Host-side pool re-capacity: pad every per-Gaussian array with dead
+    slots up to ``new_capacity``.
+
+    This is the static-shape analogue of the reference's unbounded
+    optimizer surgery (`gaussian_model.py:1093-1123`
+    `cat_tensors_to_optimizer` grows parameter + Adam tensors every
+    densification interval without limit). Under jit shapes are frozen,
+    so growth is a RARE host event between steps: pad arrays, zero the
+    new Adam moments (train/optim.grow_adam), re-jit. Triggered by the
+    train loop when a densify window drops candidates for lack of free
+    slots (round-4 VERDICT missing item 1).
+    """
+    assert new_capacity >= state.capacity
+    grown = jax.tree.map(lambda x: _padded(x, new_capacity), state)
+    cn = jnp.where(grown.live, grown.control_num, 4)
+    return grown._replace(control_num=cn.astype(jnp.int32))

