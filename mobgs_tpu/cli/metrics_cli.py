@@ -71,6 +71,15 @@ def main(argv=None):
             print(f"{k.upper()}: {out[k]:.4f}")
     if out.get("tof") is not None:
         print(f"tOF: {out['tof']:.4f}")
+    # persist the report next to the checkpoint (the reference saves its
+    # per-scene results to JSON too, metrics.py:150-162); the protocol
+    # script checks this file to fail on a broken metrics step
+    import json
+    report = {k: (float(v) if isinstance(v, (int, float)) else v)
+              for k, v in out.items()}
+    report["n_frames"] = len(preds)
+    with open(os.path.join(args.model_path, "results.json"), "w") as f:
+        json.dump(report, f, indent=1)
     return out
 
 

@@ -54,9 +54,12 @@ ALPHA_MIN = 1.0 / 255.0
 TRANS_EPS = 1e-4
 
 
-def _tile_pixel_grid(ntx: int, dtype=jnp.float32):
-    """Per-program GLOBAL pixel coordinates for this tile, [1, P]."""
-    t = pl.program_id(0)
+def _tile_pixel_grid(ntx: int, t, dtype=jnp.float32):
+    """GLOBAL pixel coordinates for tile ``t``, [1, P].
+
+    ``t`` is the tile's GLOBAL id (column 1 of the SMEM counts array) —
+    NOT ``pl.program_id(0)``: under tile-axis shard_map each shard's
+    program ids restart at 0 while its rows keep their global ids."""
     ox = ((t % ntx) * TILE).astype(dtype)
     oy = ((t // ntx) * TILE).astype(dtype)
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, P), 1)
@@ -115,7 +118,7 @@ def _incl_prefix_sum(u, ch):
 def _fwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, acc, trans):
     n_chunks = rec_ref.shape[1]
     count = count_ref[pl.program_id(0), 0]
-    px, py = _tile_pixel_grid(ntx)
+    px, py = _tile_pixel_grid(ntx, count_ref[pl.program_id(0), 1])
 
     acc[...] = jnp.zeros_like(acc)
     trans[...] = jnp.ones_like(trans)
@@ -154,7 +157,7 @@ def _fwd_kernel_sub(ntx, ch, count_ref, rec_ref, col_ref, out_ref, out2_ref,
     (renderer :158-177) sharing pack, DMA, and the loop."""
     n_chunks = rec_ref.shape[1]
     count = count_ref[pl.program_id(0), 0]
-    px, py = _tile_pixel_grid(ntx)
+    px, py = _tile_pixel_grid(ntx, count_ref[pl.program_id(0), 1])
 
     acc[...] = jnp.zeros_like(acc)
     acc2[...] = jnp.zeros_like(acc2)
@@ -201,7 +204,7 @@ def _bwd_kernel(ntx, ch, count_ref, rec_ref, col_ref, out_ref, g_ref,
                 grec_ref, gcol_ref, trans, gacc, gdt):
     n_chunks = rec_ref.shape[1]
     count = count_ref[pl.program_id(0), 0]
-    px, py = _tile_pixel_grid(ntx)
+    px, py = _tile_pixel_grid(ntx, count_ref[pl.program_id(0), 1])
 
     g = g_ref[0, :, :]                    # [P, CE]
     out_tot = out_ref[0, :, :]            # [P, CE] forward output (no bg)
@@ -287,7 +290,7 @@ def _bwd_kernel_sub(ntx, ch, count_ref, rec_ref, col_ref, out_ref, out2_ref,
     gradient folds into the shared conic/mean rows."""
     n_chunks = rec_ref.shape[1]
     count = count_ref[pl.program_id(0), 0]
-    px, py = _tile_pixel_grid(ntx)
+    px, py = _tile_pixel_grid(ntx, count_ref[pl.program_id(0), 1])
 
     g = g_ref[0, :, :]                    # [P, CE]
     g2 = g2_ref[0, :, :]                  # [1, P]
@@ -384,6 +387,14 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _tile_shard_info(n_tiles: int):
+    """(mesh, axis, n_shards) when tile-axis sharding is enabled and the
+    tile count splits evenly — None otherwise (late import: parallel is
+    a higher layer)."""
+    from mobgs_tpu.parallel.mesh import tile_shard_info
+    return tile_shard_info(n_tiles)
+
+
 def _gather_records(bins: TileBins, splats: ProjectedSplats,
                     opacities: jnp.ndarray, colors_ext: jnp.ndarray,
                     ch: int, sub_opacities: jnp.ndarray | None = None):
@@ -440,7 +451,7 @@ def _composite_fwd_call(n_tiles, K, ntx, ch, recs, colors_t, counts):
         scratch_shapes=[pltpu.VMEM((P, CE), jnp.float32),
                         pltpu.VMEM((1, P), jnp.float32)],
         interpret=_interpret(),
-    )(counts[:, None], recs, colors_t)
+    )(counts, recs, colors_t)
     return out
 
 
@@ -471,7 +482,7 @@ def _composite_bwd(n_tiles, K, ntx, ch, res, g):
                         pltpu.VMEM((1, P), jnp.float32),
                         pltpu.VMEM((1, P), jnp.float32)],
         interpret=_interpret(),
-    )(counts[:, None], recs, colors_t, out, g)
+    )(counts, recs, colors_t, out, g)
     # mean gradients carry a -(dsigma/d dx) sign (rows 0, 1)
     sign = jnp.asarray([-1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 0.0, 0.0])
     grec = grec * sign[None, None, :, None]
@@ -509,7 +520,7 @@ def _composite_sub_fwd_call(n_tiles, K, ntx, ch, recs, colors_t, counts):
                         pltpu.VMEM((1, P), jnp.float32),
                         pltpu.VMEM((1, P), jnp.float32)],
         interpret=_interpret(),
-    )(counts[:, None], recs, colors_t)
+    )(counts, recs, colors_t)
     return out, out2
 
 
@@ -546,7 +557,7 @@ def _composite_sub_bwd(n_tiles, K, ntx, ch, res, gs):
                         pltpu.VMEM((1, P), jnp.float32),
                         pltpu.VMEM((1, P), jnp.float32)],
         interpret=_interpret(),
-    )(counts[:, None], recs, colors_t, out, out2, g, g2)
+    )(counts, recs, colors_t, out, out2, g, g2)
     # rows 0, 1 carry the -(dsigma/d dx) sign; row 6 is the fused
     # subset-pass opacity gradient
     sign = jnp.asarray([-1.0, -1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0])
@@ -600,12 +611,48 @@ def composite_tiles_pallas(bins: TileBins, splats: ProjectedSplats,
     CE = C + int(want_depth) + int(want_alpha)
     recs, colors_t = _gather_records(bins, splats, opacities, colors_ext,
                                      ch, sub_opacities)
-    if has_sub:
+    # SMEM control array: column 0 = per-tile entry count, column 1 =
+    # GLOBAL tile id (pixel coordinates derive from it, so the kernels
+    # stay correct when shard_map hands each device a tile slice whose
+    # program ids restart at 0)
+    counts2 = jnp.stack(
+        [bins.counts.astype(jnp.int32),
+         jnp.arange(n_tiles, dtype=jnp.int32)], axis=1)
+
+    # tile-axis shard_map (round-4 VERDICT item 4): with tile sharding
+    # enabled (parallel.mesh.enable_tile_sharding) and the tile count
+    # divisible by the shard axis, each device composites its own tile
+    # rows with the SAME Mosaic kernel — XLA cannot partition an opaque
+    # custom call, so the split is explicit. The custom VJP sits inside
+    # the shard_map region: forward shards the [T, ...] operands, and
+    # the backward's per-(tile, slot) gradient records come back
+    # tile-sharded; the caller's scatter-add onto the Gaussian axis is
+    # where GSPMD inserts the cross-device reduce.
+    shard = _tile_shard_info(n_tiles)
+    if shard is not None:
+        mesh, axis, S = shard
+        from jax.sharding import PartitionSpec
+        spec = PartitionSpec(axis)
+        if has_sub:
+            out, out2 = jax.shard_map(
+                functools.partial(_composite_core_sub, n_tiles // S, K,
+                                  ntx, ch),
+                mesh=mesh, in_specs=(spec, spec, spec),
+                out_specs=(spec, spec), check_vma=False,
+            )(recs, colors_t, counts2)
+        else:
+            out = jax.shard_map(
+                functools.partial(_composite_core, n_tiles // S, K,
+                                  ntx, ch),
+                mesh=mesh, in_specs=(spec, spec, spec),
+                out_specs=spec, check_vma=False,
+            )(recs, colors_t, counts2)
+    elif has_sub:
         out, out2 = _composite_core_sub(n_tiles, K, ntx, ch, recs,
-                                        colors_t, bins.counts)
+                                        colors_t, counts2)
     else:
         out = _composite_core(n_tiles, K, ntx, ch, recs, colors_t,
-                              bins.counts)
+                              counts2)
 
     full = out.reshape(nty, ntx, TILE, TILE, CE)
     full = full.transpose(0, 2, 1, 3, 4).reshape(nty * TILE, ntx * TILE, CE)

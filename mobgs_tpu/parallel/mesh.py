@@ -102,9 +102,12 @@ def shard_batch_specs(batch, mesh: Mesh):
 # [H, W, C] image tiles and (b) an all-reduce of the backward's
 # per-Gaussian gradient scatter — both riding ICI. The XLA compositor
 # (ops/raster_jax.py) partitions this way automatically from the
-# constraint; the Pallas kernel is a custom call XLA cannot split, so
-# tile sharding applies to the XLA path (which is also what the
-# multichip dryrun validates on the virtual CPU mesh).
+# constraint; the Pallas kernel is a custom call GSPMD cannot split, so
+# ops/pallas_raster.py wraps its core (custom VJP included) in an
+# explicit `jax.shard_map` over the tile axis driven by the same
+# setting (`tile_shard_info`) — each device runs the Mosaic kernel on
+# its own tile rows. Both paths are validated on the virtual CPU mesh
+# (the Pallas one in interpret mode) by the multichip dryrun.
 
 _TILE_SHARD: tuple | None = None  # (Mesh, axis_name)
 
@@ -119,6 +122,22 @@ def enable_tile_sharding(mesh: Mesh, axis: str = "gauss") -> None:
 def disable_tile_sharding() -> None:
     global _TILE_SHARD
     _TILE_SHARD = None
+
+
+def tile_shard_info(n_tiles: int):
+    """(mesh, axis_name, n_shards) for the Pallas compositor's explicit
+    tile-axis shard_map, or None when tile sharding is off / the tile
+    count does not divide the axis. The Pallas kernel is an opaque
+    custom call GSPMD cannot partition (unlike the XLA twin, which
+    `constrain_tile_axis` covers), so `ops/pallas_raster.py` wraps its
+    core in `jax.shard_map` using this setting."""
+    if _TILE_SHARD is None:
+        return None
+    mesh, axis = _TILE_SHARD
+    n = mesh.shape[axis]
+    if n <= 1 or n_tiles % n:
+        return None
+    return mesh, axis, n
 
 
 def constrain_tile_axis(x, dim: int):

@@ -65,9 +65,17 @@ while true; do
   fi
 done
 
+# eval + metrics failures must FAIL the protocol run (round-4's
+# flagship metrics step errored silently and was never re-run):
+# tee swallows exit codes, so check pipefail + the results artifact.
+set -o pipefail
 echo "=== eval (100-step TTO) ===" | tee -a "$LOG"
 python -m mobgs_tpu.cli.eval_cli -m "$OUT" --synthetic \
-    --synthetic_size "$SIZE" --iteration 10000 2>&1 | tee -a "$LOG"
+    --synthetic_size "$SIZE" --iteration 10000 2>&1 | tee -a "$LOG" \
+  || { echo "[protocol] EVAL FAILED" | tee -a "$LOG"; exit 2; }
 echo "=== metrics ===" | tee -a "$LOG"
-python -m mobgs_tpu.cli.metrics_cli -m "$OUT" 2>&1 | tee -a "$LOG"
+python -m mobgs_tpu.cli.metrics_cli -m "$OUT" 2>&1 | tee -a "$LOG" \
+  || { echo "[protocol] METRICS FAILED" | tee -a "$LOG"; exit 3; }
+[ -f "$OUT/results.json" ] \
+  || { echo "[protocol] results.json missing" | tee -a "$LOG"; exit 4; }
 echo "done — curves in $OUT/history.json, metrics in $OUT/results.json"

@@ -73,6 +73,65 @@ def test_multiscene_data_parallel_batch():
                                    atol=1e-4)
 
 
+def test_tile_sharded_pallas_compositor_matches_unsharded():
+    """Round-4 VERDICT item 4: the production Pallas compositor (an
+    opaque custom call GSPMD cannot partition) must shard over the tile
+    axis via the explicit `jax.shard_map` in ops/pallas_raster.py —
+    value- and gradient-identical to the unsharded kernel, with each
+    device compositing a [T/n_gauss, ...] tile slice (checked in the
+    compiled HLO), including the fused subset-alpha variant."""
+    import re
+
+    mesh = Mx.make_mesh(n_data=2, n_gauss=4)
+    W, H = 128, 64   # 8x4 = 32 tiles -> 8 per gauss rank
+    n = 512
+    means, quats, scales, opac, colors = make_cloud(n, seed=5)
+    K = jnp.asarray([[80.0, 0, W / 2], [0, 80.0, H / 2], [0, 0, 1]])
+    cfg = RasterConfig(tile_chunk=8, max_per_tile=128, backend="pallas")
+    sub_mask = (jnp.arange(n) % 2).astype(jnp.float32)[None]
+
+    def mk_loss():
+        def loss(m, o):
+            out = rasterize(m, quats, scales, o, colors, jnp.eye(4), K,
+                            W, H, background=jnp.zeros(3),
+                            alpha_masks=sub_mask, config=cfg)
+            return (jnp.sum(out.images[0] ** 2)
+                    + jnp.sum(out.sub_alphas[0] ** 2),
+                    (out.images[0], out.sub_alphas[0], out.depths[0]))
+        return loss
+
+    loss = mk_loss()
+    (ref_val, ref_outs) = jax.jit(loss)(means, opac)
+    ref_grads = jax.jit(jax.grad(lambda m, o: loss(m, o)[0],
+                                 argnums=(0, 1)))(means, opac)
+
+    Mx.enable_tile_sharding(mesh, axis="gauss")
+    try:
+        from mobgs_tpu.parallel.mesh import tile_shard_info
+        info = tile_shard_info(32)
+        assert info is not None and info[2] == 4
+        loss_s = mk_loss()
+        jf = jax.jit(loss_s)
+        hlo = jf.lower(means, opac).compile().as_text()
+        val, outs = jf(means, opac)
+        grads = jax.jit(jax.grad(lambda m, o: loss_s(m, o)[0],
+                                 argnums=(0, 1)))(means, opac)
+    finally:
+        Mx.disable_tile_sharding()
+
+    # each device's kernel operands are a [T/4 = 8, NC, R, ch] slice
+    assert re.search(r"f32\[8,1,8,128\]", hlo), \
+        "Pallas compositor operands are not tile-sharded in the HLO"
+    assert not re.search(r"f32\[32,1,8,128\]", hlo), \
+        "a full-tile-axis (replicated) operand survived tile sharding"
+
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=1e-6)
+    for a, b in zip(outs, ref_outs):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    for a, b in zip(grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
 def test_tile_sharded_compositing_splits_per_device_work():
     """Round-3 VERDICT item 3: with tile sharding enabled, the
     compositor's per-chunk [c, K, P] panels must SHRINK to c/n_gauss per
