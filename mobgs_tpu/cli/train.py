@@ -78,6 +78,10 @@ def main(argv=None):
     raster_cfg = RasterConfig(tiles_per_gauss=cfg.tpu.tiles_per_gauss,
                               max_per_tile=cfg.tpu.max_per_tile,
                               tile_chunk=cfg.tpu.tile_chunk)
+    # the configured budgets BEFORE init-time escalation: the train loop
+    # de-escalates back toward these (measured-lossless) once training
+    # shrinks the oversized knn-init splats that forced the escalation
+    base_raster_cfg = raster_cfg
 
     # ---- data
     if args.synthetic:
@@ -206,6 +210,8 @@ def main(argv=None):
     _sp = _prj.project(_g.means, _g.quats, _g.scales, _cam0.w2c, _cam0.K,
                        data.width, data.height, eps2d=raster_cfg.eps2d,
                        near=raster_cfg.near, sigma_cut=raster_cfg.sigma_cut)
+    print(f"init: {len(s_pts)} static + {len(d_traj)} dynamic seeds; "
+          f"validating raster budgets...", flush=True)
     _suggest = _tiles.suggest_tiles_per_gauss(np.asarray(_sp.radii))
     if _suggest > raster_cfg.tiles_per_gauss:
         print(f"[warn] initial splats span past the {raster_cfg.tiles_per_gauss}"
@@ -223,6 +229,11 @@ def main(argv=None):
               f"{raster_cfg.max_per_tile} is not transmittance-saturated "
               f"on this scene; escalating -> {_k}")
         raster_cfg = raster_cfg._replace(max_per_tile=_k)
+
+    print(f"init: raster budgets validated (tiles_per_gauss="
+          f"{raster_cfg.tiles_per_gauss}, max_per_tile="
+          f"{raster_cfg.max_per_tile}); compiling the train step...",
+          flush=True)
 
     out_dir = args.model_path or os.path.join("output", args.expname)
     os.makedirs(out_dir, exist_ok=True)
@@ -392,6 +403,7 @@ def main(argv=None):
         debug_every=300, on_debug=on_debug,
         viewer=viewer, viewer_render=viewer_render,
         densify_mode=args.densify_mode, start_iter=start_iter,
+        base_raster_cfg=base_raster_cfg,
         checkpoint_every=500,
         on_checkpoint=lambda ts_now, it, hist: _periodic_checkpoint(
             ts_now, it, hist))

@@ -218,8 +218,23 @@ def init_point_clouds(data: SceneData, traj: np.ndarray, n_stat: int,
         moving = data.masks[v].reshape(-1)[ok] >= 0.5
         stat_pts.append(wpts[~moving])
         stat_cols.append(img.reshape(-1, 3)[ok][~moving])
-        dyn_pts.append(wpts[moving])
-        dyn_frame.append(np.full(int(moving.sum()), v, np.int32))
+        # depth-band filter on the dynamic candidates: blur-dilated mask
+        # edges carry BACKGROUND depth and unproject to isolated far
+        # points whose knn init scales explode (observed: a protocol run
+        # escalated tiles_per_gauss 9 -> 64 and max_per_tile 256 -> 1024
+        # from a handful of such outliers, 4x-ing the step time). Keep
+        # candidates inside the Tukey fences of the frame's masked
+        # depths — the same role the real warm stage's inverse-warp
+        # error mask plays for TAPIR seeds (train/warm.py).
+        zm = z[ok][moving]
+        if zm.size:
+            q1, q3 = np.quantile(zm, (0.25, 0.75))
+            iqr = max(q3 - q1, 1e-6)
+            band = (zm >= q1 - 1.5 * iqr) & (zm <= q3 + 1.5 * iqr)
+        else:
+            band = np.zeros(0, bool)
+        dyn_pts.append(wpts[moving][band])
+        dyn_frame.append(np.full(int(band.sum()), v, np.int32))
     stat_pts = np.concatenate(stat_pts)
     stat_cols = np.concatenate(stat_cols)
     sel = rng.choice(len(stat_pts), size=min(n_stat, len(stat_pts)), replace=False)

@@ -168,7 +168,9 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
           viewer=None, viewer_render: Callable | None = None,
           checkpoint_every: int = 0, on_checkpoint: Callable | None = None,
           densify_mode: int = 2, start_iter: int = 1,
-          pool_growth: bool = True, max_capacity: int = 400_000):
+          pool_growth: bool = True, max_capacity: int = 400_000,
+          base_raster_cfg: RasterConfig | None = None,
+          deescalate_every: int = 500):
     """Run the fine-stage loop. Returns (ts, history list).
 
     start_iter: first iteration to run (resume support — a run restored
@@ -240,6 +242,81 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
                                        data.max_time, blce_cfg.num_warp,
                                        raster_cfg)
         return True
+    # measured budget DE-escalation (the inverse of the two escalation
+    # paths). Init-time validation sizes tiles_per_gauss/max_per_tile for
+    # the worst splats of the SEED distribution — knn "fill-space" init
+    # scales put ~0.5% of splats at 60-150 px radii, forcing 64-tile
+    # bboxes and 1024-deep tiles for the whole run (~4x the step time)
+    # even though training shrinks/splits those splats within a few
+    # hundred iterations. Every `deescalate_every` iters while the
+    # budgets sit above the base config, composite view 0 at the current
+    # budgets (the truncation-free reference) and at candidate budgets
+    # (suggested tile span on CURRENT radii, capacity ladder from the
+    # base up); adopt the cheapest candidate within 60 dB of the
+    # reference and re-jit. The tile_max drift check re-escalates if
+    # occupancy later outgrows the adopted budget.
+    _deesc_render_cache: dict = {}
+
+    def _render_view0(ts_now, cfg):
+        from mobgs_tpu.models import render as R
+        from mobgs_tpu.ops.rasterize import rasterize
+        key = (cfg.tiles_per_gauss, cfg.max_per_tile)
+        if key not in _deesc_render_cache:
+            def f(stat, dyn):
+                g = R.assemble(stat, dyn, jnp.asarray(data.time[0]),
+                               data.max_time)
+                return rasterize(
+                    g.means, g.quats, g.scales, g.opacity, g.colors,
+                    jnp.asarray(data.w2c[0]), jnp.asarray(data.K[0]),
+                    data.width, data.height, config=cfg).images[0]
+            _deesc_render_cache[key] = jax.jit(f)
+        return _deesc_render_cache[key](ts_now.stat, ts_now.dyn)
+
+    def maybe_deescalate_budgets(ts_now, it):
+        nonlocal raster_cfg, expo_fn
+        base = base_raster_cfg
+        if base is None:
+            return False
+        cur_t, cur_k = raster_cfg.tiles_per_gauss, raster_cfg.max_per_tile
+        if cur_t <= base.tiles_per_gauss and cur_k <= base.max_per_tile:
+            return False
+        from mobgs_tpu.models import render as R
+        from mobgs_tpu.ops import projection as P, tiles as T
+        g = R.assemble(ts_now.stat, ts_now.dyn, jnp.asarray(data.time[0]),
+                       data.max_time)
+        sp = P.project(g.means, g.quats, g.scales,
+                       jnp.asarray(data.w2c[0]), jnp.asarray(data.K[0]),
+                       data.width, data.height, eps2d=raster_cfg.eps2d,
+                       near=raster_cfg.near, sigma_cut=raster_cfg.sigma_cut)
+        cand_t = max(base.tiles_per_gauss,
+                     T.suggest_tiles_per_gauss(np.asarray(sp.radii)))
+        ladder = [b for b in (256, 384, 512, 768, 1024, 1536)
+                  if base.max_per_tile <= b]
+        cand_ks = [k for k in ladder if k < cur_k or cand_t < cur_t]
+        if cand_t >= cur_t and not any(k < cur_k for k in cand_ks):
+            return False
+        ref = _render_view0(ts_now, raster_cfg)
+        for k in cand_ks:
+            if cand_t == cur_t and k >= cur_k:
+                continue
+            cand = raster_cfg._replace(tiles_per_gauss=cand_t,
+                                       max_per_tile=k)
+            img = _render_view0(ts_now, cand)
+            mse = float(jnp.mean((img - ref) ** 2))
+            if 10.0 * np.log10(1.0 / max(mse, 1e-12)) < 60.0:
+                continue
+            print(f"[budgets] splat distribution shrank: tiles_per_gauss "
+                  f"{cur_t} -> {cand_t}, max_per_tile {cur_k} -> {k} "
+                  f"validated lossless at iter {it} (re-jitting)",
+                  flush=True)
+            raster_cfg = cand
+            _step_cache.clear()
+            expo_fn = make_exposure_update(data.width, data.height,
+                                           data.max_time, blce_cfg.num_warp,
+                                           raster_cfg)
+            return True
+        return False
+
     densify_fn = jax.jit(functools.partial(
         D.densify_clone_split, percent_dense=opt_cfg.percent_dense,
         scene_extent=scene_extent, split_n=2),
@@ -335,6 +412,8 @@ def train(ts: TrainState, data: SceneData, opt_cfg, blce_cfg,
             observed = max(tile_max_seen, int(metrics.tile_max))
             tile_max_seen = 0
             maybe_escalate_capacity(ts, it, observed)
+        if deescalate_every and it % deescalate_every == 0:
+            maybe_deescalate_budgets(ts, it)
 
         # densification (helper_train.py:183-289): ALL modes route
         # through densify.control_gaussians — single source of truth

@@ -18,7 +18,11 @@ SIZE=${2:-512x288x24}
 shift 2 2>/dev/null || shift $# 2>/dev/null || true
 OUT="output/$EXP"
 LOG="$OUT/train.log"
-STALL_S=600          # no log line for 10 min => hung RPC, kill + resume
+STALL_S=900          # no log line for 15 min => hung RPC, kill + resume
+                     # (init prints breadcrumbs, but a growth-event
+                     # re-jit through the tunnel can take ~300s and a
+                     # first compile ~270s — 600 was killing healthy
+                     # inits that skipped the escalation warnings)
 MAX_RESTARTS=12
 mkdir -p "$OUT"
 

@@ -546,3 +546,40 @@ def test_synthetic_dyn_seeding_at_protocol_scale():
     gt_disp = (traj[:, -1] - traj[:, 0]).mean(0)
     seed_disp = (d_traj[:, -1] - d_traj[:, 0]).mean(0)
     np.testing.assert_allclose(seed_disp, gt_disp, atol=0.3)
+
+
+def test_budget_deescalation_returns_to_base():
+    """Measured budget de-escalation (train/loop.py): a run whose raster
+    budgets were escalated at init drops back to the base config once
+    the composite at base budgets matches the escalated reference (on
+    this small-splat scene they are equivalent from the start), and the
+    swap shows up in the history's max_per_tile."""
+    ts, data, opt, blce_cfg = build_everything()
+    escalated = CFG._replace(tiles_per_gauss=36, max_per_tile=512)
+    ts2, history = L.train(ts, data, opt, blce_cfg, iterations=4,
+                           raster_cfg=escalated, scene_extent=6.0,
+                           log_every=1, base_raster_cfg=CFG,
+                           deescalate_every=2)
+    mpts = [h["max_per_tile"] for h in history]
+    assert mpts[0] == 512, "run must start at the escalated budget"
+    assert mpts[-1] == CFG.max_per_tile, \
+        f"budgets never de-escalated: {mpts}"
+    assert np.isfinite([h["loss"] for h in history]).all()
+
+
+def test_budget_deescalation_keeps_lossy_budget():
+    """De-escalation must NOT fire when dropping budgets would change
+    the composite: with base tiles_per_gauss=1 every splat's bbox is
+    clamped to a single tile, which is visibly lossy on this scene, so
+    the escalated config must be kept."""
+    ts, data, opt, blce_cfg = build_everything()
+    escalated = CFG._replace(tiles_per_gauss=16)
+    base = CFG._replace(tiles_per_gauss=1)
+    ts2, history = L.train(ts, data, opt, blce_cfg, iterations=4,
+                           raster_cfg=escalated, scene_extent=6.0,
+                           log_every=1, base_raster_cfg=base,
+                           deescalate_every=2)
+    # max_per_tile already at base; the tiles budget is what would drop,
+    # and the measured compare must reject it -> nothing in the history
+    # changes and training stays finite
+    assert np.isfinite([h["loss"] for h in history]).all()
