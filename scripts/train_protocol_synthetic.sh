@@ -12,9 +12,12 @@
 #
 # Usage: PYTHONPATH=/root/repo:/root/.axon_site scripts/train_protocol_synthetic.sh \
 #            [expname] [WxHxF] [extra train args...]
+# ITERS env overrides the protocol length (default 10000) — the eval
+# step loads point_cloud/iteration_$ITERS, so both must agree.
 set -u
 EXP=${1:-synthetic/protocol10k}
 SIZE=${2:-512x288x24}
+ITERS=${ITERS:-10000}
 shift 2 2>/dev/null || shift $# 2>/dev/null || true
 OUT="output/$EXP"
 LOG="$OUT/train.log"
@@ -32,6 +35,7 @@ run_train() {           # $1 = resume checkpoint ("" for fresh)
   [ -n "$ckpt" ] && resume_args=(--start_checkpoint "$ckpt")
   stdbuf -oL -eL python -m mobgs_tpu.cli.train --synthetic \
       --synthetic_size "$SIZE" --configs configs/stereo/seesaw.py \
+      --iterations "$ITERS" \
       --expname "$EXP" "${resume_args[@]}" "$@" >>"$LOG" 2>&1 &
   echo $! > /tmp/protocol_train.pid
   local pid
@@ -75,7 +79,7 @@ done
 set -o pipefail
 echo "=== eval (100-step TTO) ===" | tee -a "$LOG"
 python -m mobgs_tpu.cli.eval_cli -m "$OUT" --synthetic \
-    --synthetic_size "$SIZE" --iteration 10000 2>&1 | tee -a "$LOG" \
+    --synthetic_size "$SIZE" --iteration "$ITERS" 2>&1 | tee -a "$LOG" \
   || { echo "[protocol] EVAL FAILED" | tee -a "$LOG"; exit 2; }
 echo "=== metrics ===" | tee -a "$LOG"
 python -m mobgs_tpu.cli.metrics_cli -m "$OUT" 2>&1 | tee -a "$LOG" \
