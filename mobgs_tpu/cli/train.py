@@ -301,11 +301,22 @@ def main(argv=None):
                   jnp.asarray(t_t), jnp.asarray(data.test_images),
                   jnp.ones(V))
         psnr = float(np.mean(np.asarray(res.psnr)))
-        print(f"[eval @ {it}] test PSNR {psnr:.2f}", flush=True)
+        # raw-pose control: the aligned-vs-raw gap separates BLCE
+        # alignment drift from actual scene (deblur) quality — the
+        # round-4/5 falling aligned-PSNR curves cannot be diagnosed
+        # without it (a 100-step TTO recovers pose error, so final TTO
+        # PSNR >> aligned PSNR also indicates alignment, not scene)
+        res_raw = tto(jnp.asarray(data.test_w2c), jnp.asarray(t_K),
+                      jnp.asarray(t_t), jnp.asarray(data.test_images),
+                      jnp.ones(V))
+        psnr_raw = float(np.mean(np.asarray(res_raw.psnr)))
+        print(f"[eval @ {it}] test PSNR {psnr:.2f} (raw-pose "
+              f"{psnr_raw:.2f})", flush=True)
         # persist the full test curve as we go (round-4's flagship log
         # had no eval lines after iter 1500 and nobody could plot the
         # train-vs-test divergence — VERDICT weak item 1)
-        eval_curve.append({"iter": it, "test_psnr": psnr})
+        eval_curve.append({"iter": it, "test_psnr": psnr,
+                          "test_psnr_raw": psnr_raw})
         with open(eval_curve_path, "w") as f:
             json.dump(eval_curve, f)
         if psnr > best["psnr"]:
